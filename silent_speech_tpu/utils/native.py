@@ -1,0 +1,77 @@
+"""ctypes bindings to the native (C++) runtime library.
+
+The reference's native compute lives in third-party deps (SURVEY.md §2.3:
+numba DTW, ctcdecode C++ beam search, libsndfile); this framework carries its
+own C++ runtime in ``cpp/`` — FLAC decode and CTC beam-search decoding —
+built as a single shared library ``libssp_native.so`` and bound here via
+ctypes (no pybind11 in this environment). Every entry point has a pure-Python
+fallback, so the native library is a fast path, never a hard dependency.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_LIB_TRIED = False
+
+
+def _lib_path() -> str:
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return os.path.join(root, "cpp", "build", "libssp_native.so")
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _LIB_TRIED
+    if _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    path = _lib_path()
+    if os.path.exists(path):
+        try:
+            lib = ctypes.CDLL(path)
+            lib.ssp_flac_decode.restype = ctypes.c_int64
+            lib.ssp_flac_decode.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32),  # out sample_rate
+                ctypes.POINTER(ctypes.c_int32),  # out channels
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ]
+            lib.ssp_free.restype = None
+            lib.ssp_free.argtypes = [ctypes.c_void_p]
+            _LIB = lib
+        except OSError:
+            _LIB = None
+    return _LIB
+
+
+def has_flac() -> bool:
+    lib = get_lib()
+    return lib is not None and hasattr(lib, "ssp_flac_decode")
+
+
+def read_flac(path: str) -> Tuple[np.ndarray, int]:
+    lib = get_lib()
+    assert lib is not None
+    with open(path, "rb") as f:
+        data = f.read()
+    rate = ctypes.c_int32(0)
+    channels = ctypes.c_int32(0)
+    out_ptr = ctypes.POINTER(ctypes.c_float)()
+    n = lib.ssp_flac_decode(data, len(data), ctypes.byref(rate),
+                            ctypes.byref(channels), ctypes.byref(out_ptr))
+    if n < 0:
+        raise ValueError(f"native FLAC decode failed (code {n}) for {path}")
+    try:
+        buf = np.ctypeslib.as_array(out_ptr, shape=(n * channels.value,))
+        audio = np.array(buf, dtype=np.float64)
+    finally:
+        lib.ssp_free(ctypes.cast(out_ptr, ctypes.c_void_p))
+    if channels.value > 1:
+        audio = audio.reshape(n, channels.value)
+    return audio, rate.value
