@@ -1,0 +1,147 @@
+"""Transformer encoder with learned relative positional attention logits.
+
+Functional parity target: the reference's custom einsum attention with
+per-head learned relative position embeddings up to ±(max_dist−1), the
+out-of-range −1e8 masking, and the post-norm layer layout
+(``transformer.py:7-112`` and the fairseq-derived embedding module at
+``transformer.py:114-305``).
+
+TPU-first differences from the reference implementation:
+- batch-first ``(B, T, D)`` layout throughout (the reference is time-first),
+- the relative→absolute "skew trick" (pad/reshape/slice,
+  ``transformer.py:264-305``) is replaced by a static ``(T, T)`` index gather
+  built at trace time — XLA lowers it to a single take-along-axis, with no
+  reshape gymnastics and no dynamic shapes,
+- all projections are einsums that XLA maps straight onto the MXU; an
+  optional ``dtype`` (bfloat16) selects the compute precision while params
+  stay float32,
+- optional segment-id attention masking (the reference attends across packed
+  utterance boundaries — SURVEY.md §5.7; we can fix that, off by default for
+  parity).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+NEG_INF = -1e8  # matches the reference's out-of-range logit offset
+
+
+def relative_position_index(q_len: int, k_len: int, max_dist: int
+                            ) -> tuple[np.ndarray, np.ndarray]:
+    """Static (q_len, k_len) index map into a (2*max_dist-1,) embedding table.
+
+    Entry [q, k] is the table slot for relative position ``k - q`` clipped
+    into ±(max_dist−1); the companion boolean marks in-range pairs. Built in
+    numpy at trace time so it constant-folds under jit.
+    """
+    rel = np.arange(k_len)[None, :] - np.arange(q_len)[:, None]
+    valid = np.abs(rel) <= max_dist - 1
+    idx = np.clip(rel + max_dist - 1, 0, 2 * max_dist - 2)
+    return idx.astype(np.int32), valid
+
+
+class RelativePositionalAttention(nn.Module):
+    """Multi-head self-attention with learned relative position logits.
+
+    Parameter layout mirrors the reference so checkpoints convert 1:1:
+    ``w_q/w_k/w_v`` are (heads, d_model, d_head), ``w_o`` is
+    (heads, d_head, d_model), and ``rel_emb`` is (heads, 2*max_dist−1,
+    d_head) (reference stores a trailing singleton axis).
+    """
+
+    d_model: int
+    n_head: int
+    dropout: float = 0.1
+    max_dist: int = 100
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *,
+                 segment_ids: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        d_head = self.d_model // self.n_head
+        assert d_head * self.n_head == self.d_model
+
+        def proj_init(key, shape, dtype=jnp.float32):
+            # xavier normal over the (d_model, d_head) fan as in the reference
+            return nn.initializers.xavier_normal()(key, shape, dtype)
+
+        w_q = self.param("w_q", proj_init, (self.n_head, self.d_model, d_head))
+        w_k = self.param("w_k", proj_init, (self.n_head, self.d_model, d_head))
+        w_v = self.param("w_v", proj_init, (self.n_head, self.d_model, d_head))
+        w_o = self.param("w_o", proj_init, (self.n_head, d_head, self.d_model))
+        rel_emb = self.param(
+            "rel_emb",
+            nn.initializers.normal(stddev=d_head ** -0.5),
+            (self.n_head, 2 * self.max_dist - 1, d_head),
+        )
+
+        cdt = self.dtype
+        xc = x.astype(cdt)
+        q = jnp.einsum("btd,hda->bhta", xc, w_q.astype(cdt))
+        k = jnp.einsum("btd,hda->bhta", xc, w_k.astype(cdt))
+        v = jnp.einsum("btd,hda->bhta", xc, w_v.astype(cdt))
+
+        logits = jnp.einsum("bhqa,bhka->bhqk", q, k) / jnp.asarray(
+            d_head ** 0.5, cdt)
+
+        t = x.shape[1]
+        idx, valid = relative_position_index(t, t, self.max_dist)
+        # (B, H, T, 2M-1) relative logits, gathered to absolute (T, T)
+        rel_logits = jnp.einsum("bhqa,hma->bhqm", q,
+                                rel_emb.astype(cdt))
+        gathered = jnp.take_along_axis(
+            rel_logits, jnp.asarray(idx)[None, None, :, :], axis=-1)
+        pos_logits = jnp.where(jnp.asarray(valid)[None, None], gathered,
+                               jnp.asarray(NEG_INF, cdt))
+        logits = logits + pos_logits
+
+        if segment_ids is not None:
+            same = segment_ids[:, None, :, None] == segment_ids[:, None,
+                                                                None, :]
+            logits = jnp.where(same, logits, jnp.asarray(NEG_INF, cdt))
+
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(cdt)
+        probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
+        o = jnp.einsum("bhqk,bhka->bhqa", probs, v)
+        out = jnp.einsum("bhta,haf->btf", o, w_o.astype(cdt))
+        return out.astype(x.dtype)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-norm encoder layer: attn → add&norm → ReLU FFN → add&norm
+    (reference ``transformer.py:43-60``)."""
+
+    d_model: int
+    n_head: int
+    dim_feedforward: int = 3072
+    dropout: float = 0.1
+    max_dist: int = 100
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *,
+                 segment_ids: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        attn_out = RelativePositionalAttention(
+            d_model=self.d_model, n_head=self.n_head, dropout=self.dropout,
+            max_dist=self.max_dist, dtype=self.dtype, name="self_attn",
+        )(x, segment_ids=segment_ids, deterministic=deterministic)
+        x = x + nn.Dropout(self.dropout)(attn_out,
+                                         deterministic=deterministic)
+        x = nn.LayerNorm(name="norm1")(x)
+
+        h = nn.Dense(self.dim_feedforward, dtype=self.dtype,
+                     name="linear1")(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
+        x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        x = nn.LayerNorm(name="norm2")(x)
+        return x
