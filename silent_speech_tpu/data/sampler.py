@@ -27,7 +27,7 @@ class SizeAwareSampler:
     def __iter__(self) -> Iterator[List[int]]:
         indices = list(range(len(self.dataset)))
         rng = random.Random(None if self.seed is None
-                            else (self.seed, self._epoch))
+                            else self.seed * 1000003 + self._epoch)
         rng.shuffle(indices)
         self._epoch += 1
 
