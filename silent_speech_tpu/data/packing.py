@@ -21,7 +21,7 @@ Padding utterances have length 0 and contribute nothing to masked losses.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, NamedTuple, Optional, Sequence
 
 import numpy as np
 
@@ -57,6 +57,26 @@ def decollate(packed: np.ndarray, lengths: Sequence[int]) -> List[np.ndarray]:
         results.append(flat[idx: idx + length])
         idx += length
     return results
+
+
+class DeviceBatch(NamedTuple):
+    """The jit-able (pytree) view of a PackedBatch: arrays only.
+
+    Field semantics documented on :class:`PackedBatch`.
+    """
+
+    emg: np.ndarray
+    raw_emg: np.ndarray
+    session_ids: np.ndarray
+    segment_ids: np.ndarray
+    utt_gather_idx: np.ndarray
+    utt_len: np.ndarray
+    target_len: np.ndarray
+    phonemes: np.ndarray
+    silent: np.ndarray
+    text_int: np.ndarray
+    text_len: np.ndarray
+    audio_features: Optional[np.ndarray]
 
 
 _T_BUCKETS = (128, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096)
@@ -112,6 +132,16 @@ class PackedBatch:
     @property
     def num_utterances(self) -> int:
         return self.utt_gather_idx.shape[0]
+
+    def device_batch(self) -> "DeviceBatch":
+        """Arrays-only pytree view for jit boundaries (texts excluded)."""
+        return DeviceBatch(
+            emg=self.emg, raw_emg=self.raw_emg,
+            session_ids=self.session_ids, segment_ids=self.segment_ids,
+            utt_gather_idx=self.utt_gather_idx, utt_len=self.utt_len,
+            target_len=self.target_len, phonemes=self.phonemes,
+            silent=self.silent, text_int=self.text_int,
+            text_len=self.text_len, audio_features=self.audio_features)
 
     def shape_key(self):
         """Static-shape signature; distinct keys trigger distinct jit traces."""

@@ -1,0 +1,163 @@
+"""Training losses, fully on-device over packed static-shape batches.
+
+Functional spec (reference ``transduction_model.py:98-157``):
+
+- **silent** utterances: pairwise L2 distances between predicted mel frames
+  and the parallel voiced target's frames, minus ``w·log p(phone)`` under the
+  aux head evaluated at the target's phoneme labels; DTW-align the combined
+  cost (columns = prediction frames, rows = target frames) and sum the costs
+  along the alignment — one cost per target frame.
+- **voiced** utterances: framewise L2 distance (torch ``pairwise_distance``
+  semantics: ‖y − ŷ + 1e−6‖₂) plus ``w·`` summed phoneme cross-entropy.
+- batch loss = Σ per-utterance losses / Σ target lengths.
+
+The reference decollates to a ragged python list and loops utterances,
+syncing to the CPU for every silent DTW (``transduction_model.py:111-126``).
+Here the whole loss — distance matrices (MXU batched matmuls), phoneme-logit
+gathers (one-hot matmul), DTW (wavefront scans), and masked reductions — is
+one jit region over the ``(U, T, ·)`` padded views; padding utterances have
+zero target length and contribute nothing.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.dtw import dtw_align_batch
+from ..phonemes import NUM_PHONES
+
+
+class TransductionLossOut(NamedTuple):
+    loss: jnp.ndarray             # scalar: Σ utterance losses / Σ target len
+    correct_phones: jnp.ndarray   # scalar int: aligned phoneme hits
+    total_length: jnp.ndarray     # scalar int: Σ target lengths
+    confusion: Optional[jnp.ndarray]  # (48, 48) pred×target counts or None
+
+
+def pairwise_l2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched ‖a_i − b_j‖₂: (U, Ta, D) × (U, Tb, D) → (U, Ta, Tb).
+
+    Uses the |a|²+|b|²−2ab expansion so the inner product rides the MXU
+    (same algorithm torch.cdist picks for these sizes).
+    """
+    a2 = jnp.sum(a * a, axis=-1)[:, :, None]
+    b2 = jnp.sum(b * b, axis=-1)[:, None, :]
+    ab = jnp.einsum("uad,ubd->uab", a, b)
+    sq = jnp.clip(a2 + b2 - 2.0 * ab, 1e-12, None)
+    return jnp.sqrt(sq)
+
+
+def gather_utterances(flat: jnp.ndarray, gather_idx: jnp.ndarray
+                      ) -> jnp.ndarray:
+    """(N·L, D) packed rows → (U, T_max, D) padded per-utterance views."""
+    return flat[gather_idx]
+
+
+def transduction_loss(pred: jnp.ndarray, phoneme_pred: jnp.ndarray,
+                      batch, phoneme_loss_weight: float = 0.5,
+                      phoneme_eval: bool = False) -> TransductionLossOut:
+    """Args:
+      pred:          (N, L, 80) packed mel predictions.
+      phoneme_pred:  (N, L, 48) packed phoneme logits.
+      batch:         a PackedBatch already on device (jnp arrays).
+      phoneme_eval:  also compute the (48, 48) confusion matrix.
+    """
+    d_out = pred.shape[-1]
+    flat_pred = pred.reshape(-1, d_out)
+    flat_phone = phoneme_pred.reshape(-1, phoneme_pred.shape[-1])
+
+    utt_pred = gather_utterances(flat_pred, batch.utt_gather_idx)
+    utt_phone = gather_utterances(flat_phone, batch.utt_gather_idx)
+    y = batch.audio_features                      # (U, T, 80)
+    y_phone = batch.phonemes                      # (U, T) target timeline
+    utt_len = batch.utt_len                       # (U,) prediction frames
+    tgt_len = batch.target_len                    # (U,) target frames
+    silent = batch.silent                         # (U,) bool
+
+    u, t_max = utt_phone.shape[:2]
+    pos = jnp.arange(t_max)
+    pred_mask = pos[None, :] < utt_len[:, None]
+    tgt_mask = pos[None, :] < tgt_len[:, None]
+
+    lsm = jax.nn.log_softmax(utt_phone, axis=-1)  # (U, T, 48)
+    phone_onehot = jax.nn.one_hot(y_phone, NUM_PHONES, dtype=lsm.dtype)
+
+    # ---- silent path: DTW over combined cost --------------------------
+    dists = pairwise_l2(utt_pred, y)              # (U, Tpred, Ttgt)
+    # phone_lp[u, tp, tt] = lsm[u, tp, y_phone[u, tt]]
+    phone_lp = jnp.einsum("upk,utk->upt", lsm, phone_onehot)
+    costs = dists + phoneme_loss_weight * (-phone_lp)
+
+    # DTW orientation: rows = target frames (reference aligns costs.T)
+    costs_t = jnp.swapaxes(costs, 1, 2)           # (U, Ttgt, Tpred)
+    alignment, _ = dtw_align_batch(
+        jax.lax.stop_gradient(costs_t),
+        jnp.maximum(tgt_len, 1), jnp.maximum(utt_len, 1))
+    # loss per target frame: costs_t[u, t, alignment[u, t]]
+    picked = jnp.take_along_axis(costs_t, alignment[:, :, None],
+                                 axis=2)[..., 0]  # (U, Ttgt)
+    silent_losses = jnp.sum(jnp.where(tgt_mask, picked, 0.0), axis=1)
+
+    # ---- voiced path: framewise distance + CE -------------------------
+    diff = y - utt_pred
+    framewise = jnp.sqrt(jnp.clip(
+        jnp.sum((diff + 1e-6) ** 2, axis=-1), 1e-12, None))  # (U, T)
+    ce = -jnp.einsum("utk,utk->ut", lsm, phone_onehot)        # (U, T)
+    voiced_losses = jnp.sum(
+        jnp.where(tgt_mask, framewise + phoneme_loss_weight * ce, 0.0),
+        axis=1)
+
+    per_utt = jnp.where(silent, silent_losses, voiced_losses)
+    total_length = jnp.sum(tgt_len)
+    loss = jnp.sum(per_utt) / jnp.maximum(total_length, 1)
+
+    # ---- phoneme accuracy / confusion ---------------------------------
+    pred_phone_ids = jnp.argmax(lsm, axis=-1)     # (U, Tpred)
+    aligned_pred_ids = jnp.take_along_axis(pred_phone_ids, alignment, axis=1)
+    eval_ids = jnp.where(silent[:, None], aligned_pred_ids, pred_phone_ids)
+    hits = (eval_ids == y_phone) & tgt_mask
+    correct = jnp.sum(hits)
+
+    confusion = None
+    if phoneme_eval:
+        pred_oh = jax.nn.one_hot(eval_ids, NUM_PHONES)
+        pred_oh = pred_oh * tgt_mask[..., None]
+        confusion = jnp.einsum("utp,utq->pq", pred_oh, phone_onehot)
+
+    return TransductionLossOut(loss=loss, correct_phones=correct,
+                               total_length=total_length,
+                               confusion=confusion)
+
+
+def ctc_loss(log_probs_packed: jnp.ndarray, batch, blank_id: int
+             ) -> jnp.ndarray:
+    """CTC loss over packed recognition batches.
+
+    Reference (``recognition_model.py:96-101``): per-utterance
+    ``F.ctc_loss`` with mean-over-batch of per-example NLL normalized by
+    target length. Uses ``optax.ctc_loss`` on the (U, T, K) padded gather
+    view; padding utterances (target length 0) are excluded from the mean.
+    """
+    import optax
+
+    k = log_probs_packed.shape[-1]
+    flat = log_probs_packed.reshape(-1, k)
+    utt_logits = gather_utterances(flat, batch.utt_gather_idx)  # (U, T, K)
+
+    u, t_max = utt_logits.shape[:2]
+    pos = jnp.arange(t_max)
+    logit_pad = (pos[None, :] >= batch.utt_len[:, None]).astype(jnp.float32)
+
+    labels = jnp.maximum(batch.text_int, 0)       # -1 padding → 0 (padded)
+    label_pad = (jnp.arange(labels.shape[1])[None, :]
+                 >= batch.text_len[:, None]).astype(jnp.float32)
+
+    per_example = optax.ctc_loss(utt_logits, logit_pad, labels, label_pad,
+                                 blank_id=blank_id)
+    real = batch.text_len > 0
+    per_example = jnp.where(real, per_example
+                            / jnp.maximum(batch.text_len, 1), 0.0)
+    return jnp.sum(per_example) / jnp.maximum(jnp.sum(real), 1)

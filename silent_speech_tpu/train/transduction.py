@@ -1,0 +1,292 @@
+"""EMG→mel transduction training on TPU.
+
+Workload parity with the reference loop (``transduction_model.py:159-227``):
+AdamW with linear warmup + plateau decay, size-aware length-packed batches
+(256k raw samples), per-epoch validation with phoneme accuracy/confusion,
+checkpoint each epoch, optional per-epoch vocoded audio sample, final dev-set
+synthesis + ASR WER.
+
+TPU-first structure: batches are packed on the host into static-shape
+:class:`~..data.packing.PackedBatch` buckets, the entire
+forward + DTW loss + backward + AdamW update is ONE jit region (donated
+state), sharded over the device mesh; the host only computes the LR scalar
+and aggregates logged metrics.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from functools import partial
+from typing import Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.dataset import EMGDataset
+from ..data.packing import PackedBatch, pack_batch
+from ..data.sampler import SizeAwareSampler
+from ..models.encoder import EMGEncoder
+from ..ops.dtw import dtw_align
+from ..parallel.mesh import make_mesh, shard_params, shard_batch
+from ..phonemes import NUM_PHONES
+from .checkpoint import (
+    save_checkpoint, export_reference_checkpoint, load_reference_checkpoint,
+    load_params_into_state,
+)
+from .losses import transduction_loss
+from .schedule import ReduceLROnPlateau, warmup_lr
+from .state import TrainState, create_train_state, make_adamw, \
+    set_learning_rate
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class TransductionTrainer:
+    def __init__(self, cfg: Config, num_mel_bins: int = 80,
+                 mesh=None, dtype=jnp.float32,
+                 use_segment_mask: bool = False):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(
+            cfg.mesh.data_parallel, cfg.mesh.model_parallel)
+        self.dtype = dtype
+        self.use_segment_mask = use_segment_mask
+        self.model = EMGEncoder(
+            num_outs=num_mel_bins, num_aux_outs=NUM_PHONES,
+            model_size=cfg.model.model_size,
+            num_layers=cfg.model.num_layers,
+            num_heads=cfg.model.num_heads,
+            dim_feedforward=cfg.model.dim_feedforward,
+            dropout=cfg.model.dropout,
+            max_dist=cfg.model.relative_positional_distance,
+            bn_axis_name=None,  # BN sync handled by GSPMD data sharding
+            dtype=dtype)
+        self.tx = make_adamw(weight_decay=cfg.transduction.l2)
+        self.state: Optional[TrainState] = None
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+        self._forward = self._build_forward()
+
+    # ---------------- jitted kernels ----------------------------------
+    def _apply(self, params, batch_stats, batch, train, rngs=None,
+               mutable=False):
+        seg = batch.segment_ids if self.use_segment_mask else None
+        return self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch.emg, batch.raw_emg, batch.session_ids,
+            segment_ids=seg, train=train, rngs=rngs,
+            mutable=["batch_stats"] if mutable else False)
+
+    def _build_train_step(self):
+        w = self.cfg.transduction.phoneme_loss_weight
+
+        def train_step(state: TrainState, batch, rng):
+            step_rng = jax.random.fold_in(rng, state.step)
+            shift_rng, dropout_rng = jax.random.split(step_rng)
+
+            def loss_fn(params):
+                (pred, phone), mutated = self._apply(
+                    params, state.batch_stats, batch, train=True,
+                    rngs={"shift": shift_rng, "dropout": dropout_rng},
+                    mutable=True)
+                out = transduction_loss(pred, phone, batch, w)
+                return out.loss, (mutated["batch_stats"], out)
+
+            (loss, (bs, out)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            new_state = state.apply_gradients(grads, new_batch_stats=bs)
+            metrics = {"loss": loss, "correct": out.correct_phones,
+                       "total": out.total_length}
+            return new_state, metrics
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def _build_eval_step(self):
+        w = self.cfg.transduction.phoneme_loss_weight
+
+        def eval_step(params, batch_stats, batch):
+            pred, phone = self._apply(params, batch_stats, batch,
+                                      train=False)
+            out = transduction_loss(pred, phone, batch, w,
+                                    phoneme_eval=True)
+            return {"loss": out.loss, "correct": out.correct_phones,
+                    "total": out.total_length, "confusion": out.confusion}
+
+        return jax.jit(eval_step)
+
+    def _build_forward(self):
+        def forward(params, batch_stats, emg, raw, sess):
+            return self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                emg, raw, sess, train=False)
+
+        return jax.jit(forward)
+
+    # ---------------- state -------------------------------------------
+    def init_state(self, example_batch: PackedBatch, seed: int = 0
+                   ) -> TrainState:
+        rng = jax.random.PRNGKey(seed)
+        state = create_train_state(
+            self.model, rng, example_batch, self.tx)
+        state = state.replace(
+            params=shard_params(state.params, self.mesh),
+            batch_stats=shard_params(state.batch_stats, self.mesh))
+        if self.cfg.transduction.start_training_from:
+            params, stats = load_reference_checkpoint(
+                self.cfg.transduction.start_training_from,
+                num_layers=self.cfg.model.num_layers)
+            state = load_params_into_state(state, params, stats,
+                                           strict=False)
+            state = state.replace(
+                params=shard_params(state.params, self.mesh),
+                batch_stats=shard_params(state.batch_stats, self.mesh))
+        self.state = state
+        return state
+
+    # ---------------- batching ----------------------------------------
+    def _pack(self, examples: List[dict]) -> PackedBatch:
+        dp = self.mesh.shape["data"]
+        return pack_batch(
+            examples, seq_len=self.cfg.data.seq_len,
+            chunk_bucket=_round_up(self.cfg.data.chunk_bucket, dp),
+            utt_bucket=_round_up(8, dp))
+
+    def batches(self, dataset: EMGDataset, max_len: Optional[int] = None,
+                seed: Optional[int] = None) -> Iterable[PackedBatch]:
+        sampler = SizeAwareSampler(
+            dataset, max_len or self.cfg.transduction.max_batch_len,
+            seed=seed)
+        for idx_batch in sampler:
+            yield self._pack([dataset[i] for i in idx_batch])
+
+    # ---------------- train / eval ------------------------------------
+    def fit(self, trainset: EMGDataset, devset: EMGDataset,
+            epochs: Optional[int] = None, vocoder=None,
+            save_sound_outputs: bool = False, seed: int = 0) -> TrainState:
+        cfg = self.cfg.transduction
+        epochs = epochs if epochs is not None else cfg.epochs
+
+        if cfg.data_size_fraction < 1:
+            trainset = trainset.subset(cfg.data_size_fraction)
+
+        plateau = ReduceLROnPlateau(patience=cfg.learning_rate_patience)
+        rng = jax.random.PRNGKey(seed + 1)
+        global_step = 0
+        os.makedirs(cfg.output_directory, exist_ok=True)
+        # one sampler across epochs → fresh shuffle each epoch
+        sampler = SizeAwareSampler(trainset, cfg.max_batch_len, seed=seed)
+
+        for epoch in range(epochs):
+            losses = []
+            t0 = time.time()
+            n_steps = 0
+            for idx_batch in sampler:
+                batch = self._pack([trainset[i] for i in idx_batch])
+                if self.state is None:
+                    self.init_state(batch, seed=seed)
+                db = shard_batch(batch.device_batch(), self.mesh)
+                lr = warmup_lr(global_step, cfg.learning_rate,
+                               cfg.learning_rate_warmup) * plateau.scale
+                self.state = self.state.replace(
+                    opt_state=set_learning_rate(self.state.opt_state, lr))
+                self.state, metrics = self._train_step(self.state, db, rng)
+                losses.append(metrics["loss"])
+                global_step += 1
+                n_steps += 1
+            train_loss = float(np.mean([float(l) for l in losses])) \
+                if losses else float("nan")
+            dt = time.time() - t0
+
+            val_loss, phoneme_acc, _ = self.evaluate(devset)
+            plateau.step(val_loss)
+            logging.info(
+                f"finished epoch {epoch + 1} - validation loss: "
+                f"{val_loss:.4f} training loss: {train_loss:.4f} "
+                f"phoneme accuracy: {phoneme_acc * 100:.2f}")
+            logging.info("epoch %d: %d steps in %.1fs (%.2f steps/s)",
+                         epoch + 1, n_steps, dt,
+                         n_steps / dt if dt > 0 else 0.0)
+
+            save_checkpoint(cfg.output_directory, self.state)
+            try:
+                export_reference_checkpoint(
+                    self.state,
+                    os.path.join(cfg.output_directory, "model.pt"))
+            except ImportError:
+                pass
+            if save_sound_outputs and vocoder is not None:
+                from ..eval.synthesis import save_output
+
+                save_output(
+                    self, devset[0],
+                    os.path.join(cfg.output_directory,
+                                 f"epoch_{epoch}_output.wav"),
+                    devset.mfcc_norm, vocoder)
+        return self.state
+
+    def evaluate(self, dataset: EMGDataset, batch_size: int = 32):
+        """Validation loss / phoneme accuracy / confusion matrix
+        (reference ``transduction_model.py:33-55``)."""
+        assert self.state is not None, "call fit() or init_state() first"
+        total_loss = 0.0
+        total_batches = 0
+        correct = 0
+        total = 0
+        confusion = np.zeros((NUM_PHONES, NUM_PHONES))
+        for start in range(0, len(dataset), batch_size):
+            examples = [dataset[i]
+                        for i in range(start,
+                                       min(start + batch_size,
+                                           len(dataset)))]
+            batch = self._pack(examples)
+            db = shard_batch(batch.device_batch(), self.mesh)
+            m = self._eval_step(self.state.params, self.state.batch_stats,
+                                db)
+            total_loss += float(m["loss"])
+            total_batches += 1
+            correct += int(m["correct"])
+            total += int(m["total"])
+            confusion += np.asarray(m["confusion"])
+        mean_loss = total_loss / max(total_batches, 1)
+        acc = correct / max(total, 1)
+        return mean_loss, acc, confusion
+
+    # ---------------- inference ---------------------------------------
+    def predict(self, example: dict) -> np.ndarray:
+        """(T, 80) normalized mel prediction for one utterance."""
+        assert self.state is not None
+        t = example["emg"].shape[0]
+        t_pad = _round_up(max(t, 8), 32)
+        emg = np.zeros((1, t_pad, example["emg"].shape[1]), np.float32)
+        emg[0, :t] = example["emg"]
+        raw = np.zeros((1, t_pad * 8, example["raw_emg"].shape[1]),
+                       np.float32)
+        raw[0, : t * 8] = example["raw_emg"]
+        sess = np.zeros((1, t_pad), np.int32)
+        sess[0, :t] = example["session_ids"]
+        pred, _ = self._forward(self.state.params, self.state.batch_stats,
+                                emg, raw, sess)
+        return np.asarray(pred)[0, :t]
+
+    def get_aligned_prediction(self, example: dict, audio_normalizer
+                               ) -> np.ndarray:
+        """DTW-warp the prediction onto the (voiced) target timeline and
+        denormalize (reference ``transduction_model.py:75-96``) — the
+        vocoder fine-tuning data path."""
+        pred = self.predict(example)
+        if example["silent"]:
+            y = np.asarray(example["parallel_voiced_audio_features"])
+            costs = np.sqrt(np.clip(
+                (pred ** 2).sum(-1)[:, None] + (y ** 2).sum(-1)[None, :]
+                - 2 * pred @ y.T, 1e-12, None))
+            align, _ = dtw_align(
+                jnp.asarray(costs.T),
+                jnp.asarray(y.shape[0], jnp.int32),
+                jnp.asarray(pred.shape[0], jnp.int32))
+            pred = pred[np.asarray(align)]
+        return audio_normalizer.inverse(pred)
