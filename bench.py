@@ -1,0 +1,106 @@
+"""Benchmark: full-size transduction training step throughput on TPU.
+
+Measures the complete jitted train step — EMG encoder forward (d=768, 6
+layers), on-device batched DTW loss, backward, AdamW — on a reference-scale
+packed batch (the reference packs 256k raw-capture samples per batch,
+``transduction_model.py:166``, ≈ 22k mel-rate frames ≈ 112 chunks of 200).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` is measured against REFERENCE_STEPS_PER_SEC — an estimate of
+the reference PyTorch pipeline on its single-GPU setup (the reference
+publishes no speed numbers, SURVEY.md §6): per step it runs a ~57M-param
+encoder fwd+bwd over ~22k frames plus a *host* numba DTW per silent
+utterance with a device sync (~10 silent × ~5-10 ms, serialized with the
+GPU). 3 steps/s is a deliberately generous estimate for that loop on a
+modern GPU; the driver's BASELINE.json target is ≥5× that.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_STEPS_PER_SEC = 3.0
+
+
+def build_batch(rng, target_frames=22000, silent_fraction=0.3):
+    from silent_speech_tpu.data.packing import pack_batch
+
+    examples = []
+    total = 0
+    i = 0
+    while total < target_frames:
+        t = int(rng.uniform(300, 800))
+        silent = rng.uniform() < silent_fraction
+        ex = {
+            "emg": rng.normal(size=(t, 112)).astype(np.float32),
+            "raw_emg": rng.normal(size=(t * 8, 8)).astype(np.float32),
+            "session_ids": np.zeros(t, dtype=np.int64),
+            "silent": silent,
+            "text": "benchmark",
+            "text_int": rng.integers(0, 37, size=40).astype(np.int64),
+        }
+        if silent:
+            tt = int(t * rng.uniform(0.9, 1.15))
+            ex["parallel_voiced_audio_features"] = rng.normal(
+                size=(tt, 80)).astype(np.float32)
+            ex["parallel_voiced_emg"] = rng.normal(
+                size=(tt, 112)).astype(np.float32)
+            ex["phonemes"] = rng.integers(0, 48, size=tt).astype(np.int64)
+        else:
+            ex["audio_features"] = rng.normal(size=(t, 80)).astype(
+                np.float32)
+            ex["phonemes"] = rng.integers(0, 48, size=t).astype(np.int64)
+        examples.append(ex)
+        total += t
+        i += 1
+    return pack_batch(examples, seq_len=200, chunk_bucket=8, utt_bucket=8)
+
+
+def main():
+    import jax
+
+    from silent_speech_tpu.config import Config
+    from silent_speech_tpu.parallel.mesh import make_mesh, shard_batch
+    from silent_speech_tpu.train.state import set_learning_rate
+    from silent_speech_tpu.train.transduction import TransductionTrainer
+
+    cfg = Config()  # full-size reference architecture
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    trainer = TransductionTrainer(cfg, mesh=mesh)
+
+    rng = np.random.default_rng(0)
+    batch = build_batch(rng)
+    trainer.init_state(batch, seed=0)
+    db = shard_batch(batch.device_batch(), mesh)
+    trainer.state = trainer.state.replace(
+        opt_state=set_learning_rate(trainer.state.opt_state, 1e-3))
+    step_rng = jax.random.PRNGKey(0)
+
+    # warmup / compile; float() forces a real host sync (block_until_ready
+    # is not a reliable barrier through the axon relay)
+    for _ in range(4):
+        trainer.state, metrics = trainer._train_step(trainer.state, db,
+                                                     step_rng)
+    float(metrics["loss"])
+
+    n_steps = 20
+    t0 = time.time()
+    for _ in range(n_steps):
+        trainer.state, metrics = trainer._train_step(trainer.state, db,
+                                                     step_rng)
+    float(metrics["loss"])
+    dt = time.time() - t0
+
+    steps_per_sec = n_steps / dt
+    print(json.dumps({
+        "metric": "train_steps_per_sec_emg2mel",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,225 @@
+"""EMG→text CTC recognition training on TPU.
+
+Workload parity with the reference loop (``recognition_model.py:61-117``):
+the shared encoder with a 38-way head (37 chars + blank), CTC loss over
+length-packed batches (128k raw samples), gradient accumulation ×2, AdamW
+with 1000-step warmup and MultiStep LR [125,150,175]×0.5, per-epoch WER
+validation via LM-fused beam decode.
+
+TPU-first structure mirrors the transduction trainer: one donated-state jit
+region per optimizer micro-step (optax.MultiSteps holds the accumulator on
+device), host-side LR control, beam decode on the host (eval only).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.dataset import EMGDataset
+from ..data.packing import PackedBatch, pack_batch
+from ..data.sampler import SizeAwareSampler
+from ..models.encoder import EMGEncoder
+from ..parallel.mesh import make_mesh, shard_params, shard_batch
+from ..text import TextTransform, wer
+from ..eval.decode import beam_ctc_decode, greedy_ctc_decode, ArpaLM
+from .checkpoint import (
+    save_checkpoint, export_reference_checkpoint, load_reference_checkpoint,
+    load_params_into_state,
+)
+from .losses import ctc_loss
+from .schedule import MultiStepLR, warmup_lr
+from .state import TrainState, create_train_state, make_adamw, \
+    set_learning_rate
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class RecognitionTrainer:
+    def __init__(self, cfg: Config, mesh=None, dtype=jnp.float32,
+                 use_segment_mask: bool = False):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(
+            cfg.mesh.data_parallel, cfg.mesh.model_parallel)
+        self.text_transform = TextTransform()
+        self.n_chars = len(self.text_transform.chars)
+        self.blank_id = self.n_chars  # blank = last (recognition_model.py:33)
+        self.use_segment_mask = use_segment_mask
+        self.model = EMGEncoder(
+            num_outs=self.n_chars + 1, num_aux_outs=None,
+            model_size=cfg.model.model_size,
+            num_layers=cfg.model.num_layers,
+            num_heads=cfg.model.num_heads,
+            dim_feedforward=cfg.model.dim_feedforward,
+            dropout=cfg.model.dropout,
+            max_dist=cfg.model.relative_positional_distance,
+            dtype=dtype)
+        self.tx = make_adamw(weight_decay=cfg.recognition.l2,
+                             grad_accum=cfg.recognition.grad_accum)
+        self.state: Optional[TrainState] = None
+        self._train_step = self._build_train_step()
+        self._logits_fn = self._build_logits_fn()
+        self._lm: Optional[ArpaLM] = None
+
+    def _apply(self, params, batch_stats, batch, train, rngs=None,
+               mutable=False):
+        seg = batch.segment_ids if self.use_segment_mask else None
+        return self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch.emg, batch.raw_emg, batch.session_ids,
+            segment_ids=seg, train=train, rngs=rngs,
+            mutable=["batch_stats"] if mutable else False)
+
+    def _build_train_step(self):
+        blank = self.blank_id
+
+        def train_step(state: TrainState, batch, rng):
+            step_rng = jax.random.fold_in(rng, state.step)
+            shift_rng, dropout_rng = jax.random.split(step_rng)
+
+            def loss_fn(params):
+                logits, mutated = self._apply(
+                    params, state.batch_stats, batch, train=True,
+                    rngs={"shift": shift_rng, "dropout": dropout_rng},
+                    mutable=True)
+                log_probs = jax.nn.log_softmax(logits, axis=-1)
+                loss = ctc_loss(log_probs, batch, blank_id=blank)
+                return loss, mutated["batch_stats"]
+
+            (loss, bs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            new_state = state.apply_gradients(grads, new_batch_stats=bs)
+            return new_state, {"loss": loss}
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def _build_logits_fn(self):
+        def logits_fn(params, batch_stats, emg, raw, sess):
+            out = self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                emg, raw, sess, train=False)
+            return jax.nn.log_softmax(out, axis=-1)
+
+        return jax.jit(logits_fn)
+
+    # ---------------- state / batching --------------------------------
+    def init_state(self, example_batch: PackedBatch, seed: int = 0
+                   ) -> TrainState:
+        rng = jax.random.PRNGKey(seed)
+        state = create_train_state(self.model, rng, example_batch, self.tx)
+        state = state.replace(
+            params=shard_params(state.params, self.mesh),
+            batch_stats=shard_params(state.batch_stats, self.mesh))
+        if self.cfg.recognition.start_training_from:
+            params, stats = load_reference_checkpoint(
+                self.cfg.recognition.start_training_from,
+                num_layers=self.cfg.model.num_layers)
+            state = load_params_into_state(state, params, stats)
+        self.state = state
+        return state
+
+    def _pack(self, examples: List[dict]) -> PackedBatch:
+        dp = self.mesh.shape["data"]
+        return pack_batch(
+            examples, seq_len=self.cfg.data.seq_len,
+            chunk_bucket=_round_up(self.cfg.data.chunk_bucket, dp),
+            utt_bucket=_round_up(8, dp), with_audio=False)
+
+    # ---------------- train / eval ------------------------------------
+    def fit(self, trainset: EMGDataset, devset: EMGDataset,
+            epochs: Optional[int] = None, seed: int = 0) -> TrainState:
+        cfg = self.cfg.recognition
+        epochs = epochs if epochs is not None else cfg.epochs
+        os.makedirs(cfg.output_directory, exist_ok=True)
+
+        multistep = MultiStepLR(milestones=cfg.lr_milestones,
+                                gamma=cfg.lr_gamma)
+        rng = jax.random.PRNGKey(seed + 1)
+        sampler = SizeAwareSampler(trainset, cfg.max_batch_len, seed=seed)
+        global_step = 0
+
+        for epoch in range(epochs):
+            losses = []
+            t0 = time.time()
+            for idx_batch in sampler:
+                batch = self._pack([trainset[i] for i in idx_batch])
+                if self.state is None:
+                    self.init_state(batch, seed=seed)
+                db = shard_batch(batch.device_batch(), self.mesh)
+                # reference counts warmup in batches, stepping every 2
+                lr = warmup_lr(global_step, cfg.learning_rate,
+                               cfg.learning_rate_warmup) * multistep.scale
+                self.state = self.state.replace(
+                    opt_state=set_learning_rate(self.state.opt_state, lr))
+                self.state, metrics = self._train_step(self.state, db, rng)
+                losses.append(metrics["loss"])
+                global_step += 1
+            train_loss = float(np.mean([float(l) for l in losses])) \
+                if losses else float("nan")
+            val_wer = self.evaluate_wer(devset)
+            multistep.step()
+            logging.info(
+                f"finished epoch {epoch + 1} - training loss: "
+                f"{train_loss:.4f} validation WER: {val_wer * 100:.2f}")
+            logging.info("epoch %d took %.1fs", epoch + 1,
+                         time.time() - t0)
+            save_checkpoint(cfg.output_directory, self.state)
+            try:
+                export_reference_checkpoint(
+                    self.state,
+                    os.path.join(cfg.output_directory, "model.pt"))
+            except ImportError:
+                pass
+        return self.state
+
+    def _get_lm(self) -> Optional[ArpaLM]:
+        cfg = self.cfg.recognition
+        if self._lm is None and cfg.lm_path and os.path.exists(cfg.lm_path) \
+                and not cfg.lm_path.endswith(".binary"):
+            self._lm = ArpaLM(cfg.lm_path)
+        return self._lm
+
+    def predict_logits(self, example: dict) -> np.ndarray:
+        """(T, 38) log-probs for one utterance (padded/forwarded/sliced)."""
+        assert self.state is not None
+        t = example["emg"].shape[0]
+        t_pad = _round_up(max(t, 8), 32)
+        emg = np.zeros((1, t_pad, example["emg"].shape[1]), np.float32)
+        emg[0, :t] = example["emg"]
+        raw = np.zeros((1, t_pad * 8, example["raw_emg"].shape[1]),
+                       np.float32)
+        raw[0, : t * 8] = example["raw_emg"]
+        sess = np.zeros((1, t_pad), np.int32)
+        lp = self._logits_fn(self.state.params, self.state.batch_stats,
+                             emg, raw, sess)
+        return np.asarray(lp)[0, :t]
+
+    def decode(self, example: dict, beam: bool = True) -> str:
+        lp = self.predict_logits(example)
+        cfg = self.cfg.recognition
+        if beam:
+            ids = beam_ctc_decode(
+                lp, self.text_transform.chars, self.blank_id,
+                beam_width=cfg.beam_width, lm=self._get_lm(),
+                alpha=cfg.lm_alpha, beta=cfg.lm_beta)
+        else:
+            ids = greedy_ctc_decode(lp, self.blank_id)
+        return self.text_transform.int_to_text(ids)
+
+    def evaluate_wer(self, dataset: EMGDataset, beam: bool = True) -> float:
+        """Validation WER (reference ``recognition_model.py:30-58``)."""
+        references, predictions = [], []
+        for i in range(len(dataset)):
+            ex = dataset[i]
+            predictions.append(self.decode(ex, beam=beam))
+            references.append(self.text_transform.clean_text(ex["text"]))
+        return wer(references, predictions)

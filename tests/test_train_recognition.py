@@ -1,0 +1,81 @@
+"""Recognition (CTC) training smoke tests on the synthetic corpus."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from silent_speech_tpu.config import Config
+from silent_speech_tpu.data.dataset import EMGDataset
+from silent_speech_tpu.data.synthetic import generate_corpus
+from silent_speech_tpu.parallel.mesh import make_mesh, shard_batch
+from silent_speech_tpu.train.recognition import RecognitionTrainer
+from silent_speech_tpu.train.state import set_learning_rate
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("corpus_rec"))
+    return generate_corpus(root, n_voiced_sessions=1, n_silent_sessions=1,
+                           utterances_per_session=6, seed=3)
+
+
+def _cfg(corpus_cfg, out):
+    cfg = Config()
+    cfg.data = corpus_cfg
+    cfg.model.model_size = 64
+    cfg.model.num_layers = 2
+    cfg.model.dim_feedforward = 128
+    cfg.model.dropout = 0.0
+    cfg.recognition.output_directory = out
+    cfg.recognition.max_batch_len = 8000
+    cfg.recognition.lm_path = ""  # no LM file in tests
+    cfg.recognition.beam_width = 8
+    return cfg
+
+
+def test_ctc_training_decreases_loss(corpus, tmp_path):
+    trainset = EMGDataset(corpus, dev=False, test=False)
+    cfg = _cfg(corpus, str(tmp_path / "out"))
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    trainer = RecognitionTrainer(cfg, mesh=mesh)
+
+    from silent_speech_tpu.data.sampler import SizeAwareSampler
+
+    sampler = SizeAwareSampler(trainset, cfg.recognition.max_batch_len,
+                               seed=0)
+    batches = [trainer._pack([trainset[i] for i in b]) for b in sampler]
+    assert batches
+    trainer.init_state(batches[0], seed=0)
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for step in range(10):
+        b = batches[step % len(batches)]
+        db = shard_batch(b.device_batch(), mesh)
+        trainer.state = trainer.state.replace(
+            opt_state=set_learning_rate(trainer.state.opt_state, 3e-4))
+        trainer.state, m = trainer._train_step(trainer.state, db, rng)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    # grad-accum x2: effective updates every 2 steps; still must trend down
+    assert min(losses[-4:]) < losses[0], losses
+
+
+def test_fit_epoch_decode_and_wer(corpus, tmp_path):
+    trainset = EMGDataset(corpus, dev=False, test=False)
+    devset = EMGDataset(corpus, dev=True)
+    out = str(tmp_path / "fit_out")
+    cfg = _cfg(corpus, out)
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    trainer = RecognitionTrainer(cfg, mesh=mesh)
+    trainer.fit(trainset, devset, epochs=1, seed=0)
+    assert os.path.isdir(os.path.join(out, "checkpoint"))
+
+    ex = devset[0]
+    text_beam = trainer.decode(ex, beam=True)
+    text_greedy = trainer.decode(ex, beam=False)
+    assert isinstance(text_beam, str) and isinstance(text_greedy, str)
+    w = trainer.evaluate_wer(devset, beam=False)
+    assert 0.0 <= w  # untrained-ish model: any finite WER
