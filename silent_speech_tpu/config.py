@@ -247,13 +247,21 @@ def config_from_flags() -> Config:
     t.l2 = F.l2
     t.output_directory = F.output_directory
 
+    # recognition defaults differ from the shared flag defaults
+    # (reference: lr 3e-4, warmup 1000, l2 0 — recognition_model.py:23-27);
+    # only explicitly-passed flags override them
     r = cfg.recognition
+    if F["epochs"].present:
+        r.epochs = F.epochs
     r.batch_size = F.batch_size
-    r.learning_rate = F.learning_rate
-    r.learning_rate_warmup = F.learning_rate_warmup
+    if F["learning_rate"].present:
+        r.learning_rate = F.learning_rate
+    if F["learning_rate_warmup"].present:
+        r.learning_rate_warmup = F.learning_rate_warmup
     r.learning_rate_patience = F.learning_rate_patience
     r.start_training_from = F.start_training_from
-    r.l2 = F.l2
+    if F["l2"].present:
+        r.l2 = F.l2
     r.output_directory = F.output_directory
     r.evaluate_saved = F.evaluate_saved
     r.debug = F.debug

@@ -18,10 +18,15 @@ from typing import Iterator, List
 
 
 class SizeAwareSampler:
-    def __init__(self, dataset, max_len: int, seed: int = None):
+    def __init__(self, dataset, max_len: int, seed: int = None,
+                 drop_last: bool = False):
+        """``drop_last=True`` reproduces the reference exactly (the final
+        partial batch is discarded, ``read_emg.py:140``); the default keeps
+        it so small datasets still train."""
         self.dataset = dataset
         self.max_len = max_len
         self.seed = seed
+        self.drop_last = drop_last
         self._epoch = 0
 
     def __iter__(self) -> Iterator[List[int]]:
@@ -47,4 +52,5 @@ class SizeAwareSampler:
                 batch_length = 0
             batch.append(idx)
             batch_length += length
-        # matching the reference: drop last incomplete batch
+        if batch and not self.drop_last:
+            yield batch

@@ -1,0 +1,289 @@
+"""HiFi-GAN generator (vocoder) in JAX, with torch-checkpoint conversion.
+
+The reference vocodes mel→waveform through the official HiFi-GAN PyTorch
+generator loaded from a git submodule (``vocoder.py:8-36``): conv_pre →
+[ConvTranspose upsample → multi-receptive-field (MRF) resblock fusion]×4 →
+conv_post → tanh, with weight normalization removed at load time. This is a
+from-scratch JAX implementation of that published architecture
+(arXiv:2010.05646) designed for TPU inference:
+
+- feature-last (B, T, C) layout; convs lower to MXU matmuls,
+- transposed convs via ``lax.conv_transpose`` with ``transpose_kernel=True``
+  so torch-trained kernels apply unchanged,
+- the whole generator is one jit region; mel chunks of any bucketed length
+  vocode in a single device pass (no autoregression — HiFi-GAN is
+  feed-forward, a perfect TPU fit).
+
+Checkpoint conversion folds torch ``weight_g``/``weight_v`` weight-norm pairs
+into plain kernels (equivalent to ``remove_weight_norm()``, ``vocoder.py:26``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LRELU_SLOPE = 0.1
+
+
+@dataclass(frozen=True)
+class HiFiGANConfig:
+    """Mirrors the fields of the released config.json (V1 universal)."""
+
+    resblock: str = "1"
+    upsample_rates: Tuple[int, ...] = (8, 8, 2, 2)
+    upsample_kernel_sizes: Tuple[int, ...] = (16, 16, 4, 4)
+    upsample_initial_channel: int = 512
+    resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = (
+        (1, 3, 5), (1, 3, 5), (1, 3, 5))
+    num_mels: int = 80
+    sampling_rate: int = 22050
+
+    @property
+    def hop_length(self) -> int:
+        out = 1
+        for r in self.upsample_rates:
+            out *= r
+        return out
+
+    @staticmethod
+    def from_json(path: str) -> "HiFiGANConfig":
+        with open(path) as f:
+            h = json.load(f)
+        return HiFiGANConfig(
+            resblock=str(h["resblock"]),
+            upsample_rates=tuple(h["upsample_rates"]),
+            upsample_kernel_sizes=tuple(h["upsample_kernel_sizes"]),
+            upsample_initial_channel=h["upsample_initial_channel"],
+            resblock_kernel_sizes=tuple(h["resblock_kernel_sizes"]),
+            resblock_dilation_sizes=tuple(
+                tuple(d) for d in h["resblock_dilation_sizes"]),
+            num_mels=h.get("num_mels", 80),
+            sampling_rate=h.get("sampling_rate", 22050),
+        )
+
+
+# ---------------------------------------------------------------------------
+# functional conv helpers (feature-last)
+# ---------------------------------------------------------------------------
+
+def conv1d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
+           stride: int = 1, padding: int = 0, dilation: int = 1
+           ) -> jnp.ndarray:
+    """x (B, T, Cin), kernel (K, Cin, Cout) — torch Conv1d semantics."""
+    out = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(stride,),
+        padding=[(padding, padding)], rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"))
+    return out + bias
+
+
+def conv_transpose1d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
+                     stride: int, padding: int) -> jnp.ndarray:
+    """x (B, T, Cin), kernel in torch ConvTranspose1d layout (Cin, Cout, K).
+
+    Matches torch's output length (T−1)·s − 2p + K via explicit lax padding
+    (K−1−p on both sides) and ``transpose_kernel=True``.
+    """
+    k = kernel.shape[-1]
+    # transpose_kernel=True expects the *forward* conv's kernel layout with
+    # I/O swapped, i.e. (K, Cout, Cin) for 'HIO' here
+    out = jax.lax.conv_transpose(
+        x, jnp.transpose(kernel, (2, 1, 0)),  # (K, Cout, Cin)
+        strides=(stride,), padding=[(k - 1 - padding, k - 1 - padding)],
+        dimension_numbers=("NHC", "HIO", "NHC"), transpose_kernel=True)
+    return out + bias
+
+
+def _lrelu(x):
+    return jax.nn.leaky_relu(x, LRELU_SLOPE)
+
+
+# ---------------------------------------------------------------------------
+# generator
+# ---------------------------------------------------------------------------
+
+def _res_block1(x, params, kernel_size: int, dilations: Sequence[int]):
+    for d_idx, d in enumerate(dilations):
+        pad1 = (kernel_size * d - d) // 2
+        h = _lrelu(x)
+        h = conv1d(h, params[f"convs1_{d_idx}"]["kernel"],
+                   params[f"convs1_{d_idx}"]["bias"],
+                   padding=pad1, dilation=d)
+        h = _lrelu(h)
+        pad2 = (kernel_size - 1) // 2
+        h = conv1d(h, params[f"convs2_{d_idx}"]["kernel"],
+                   params[f"convs2_{d_idx}"]["bias"], padding=pad2)
+        x = x + h
+    return x
+
+
+def _res_block2(x, params, kernel_size: int, dilations: Sequence[int]):
+    for d_idx, d in enumerate(dilations):
+        pad = (kernel_size * d - d) // 2
+        h = _lrelu(x)
+        h = conv1d(h, params[f"convs_{d_idx}"]["kernel"],
+                   params[f"convs_{d_idx}"]["bias"],
+                   padding=pad, dilation=d)
+        x = x + h
+    return x
+
+
+def generator_apply(params: dict, mel: jnp.ndarray,
+                    cfg: HiFiGANConfig) -> jnp.ndarray:
+    """mel (B, T, num_mels) → waveform (B, T·hop).
+
+    Follows the published generator: conv_pre, per-stage [lrelu →
+    upsample-transposed-conv → mean over MRF resblocks], lrelu, conv_post,
+    tanh.
+    """
+    x = conv1d(mel, params["conv_pre"]["kernel"],
+               params["conv_pre"]["bias"], padding=3)
+    n_kernels = len(cfg.resblock_kernel_sizes)
+    res_fn = _res_block1 if cfg.resblock == "1" else _res_block2
+
+    for i, (rate, ksize) in enumerate(zip(cfg.upsample_rates,
+                                          cfg.upsample_kernel_sizes)):
+        x = _lrelu(x)
+        up = params[f"ups_{i}"]
+        x = conv_transpose1d(x, up["kernel"], up["bias"], stride=rate,
+                             padding=(ksize - rate) // 2)
+        acc = None
+        for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes,
+                                         cfg.resblock_dilation_sizes)):
+            h = res_fn(x, params[f"res_{i}_{j}"], rk, rd)
+            acc = h if acc is None else acc + h
+        x = acc / n_kernels
+
+    x = _lrelu(x)
+    x = conv1d(x, params["conv_post"]["kernel"], params["conv_post"]["bias"],
+               padding=3)
+    return jnp.tanh(x)[..., 0]
+
+
+def init_generator_params(rng, cfg: HiFiGANConfig) -> dict:
+    """Random init (for tests / training from scratch)."""
+    params = {}
+    keys = jax.random.split(rng, 128)
+    ki = iter(range(128))
+
+    def conv_init(k, cin, cout):
+        kernel = jax.random.normal(keys[next(ki)], (k, cin, cout)) * 0.02
+        return {"kernel": kernel, "bias": jnp.zeros((cout,))}
+
+    ch = cfg.upsample_initial_channel
+    params["conv_pre"] = conv_init(7, cfg.num_mels, ch)
+    for i, (rate, ksize) in enumerate(zip(cfg.upsample_rates,
+                                          cfg.upsample_kernel_sizes)):
+        cout = ch // (2 ** (i + 1))
+        cin = ch // (2 ** i)
+        kernel = jax.random.normal(keys[next(ki)], (cin, cout, ksize)) * 0.02
+        params[f"ups_{i}"] = {"kernel": kernel,
+                              "bias": jnp.zeros((cout,))}
+        for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes,
+                                         cfg.resblock_dilation_sizes)):
+            blk = {}
+            for d_idx in range(len(rd)):
+                if cfg.resblock == "1":
+                    blk[f"convs1_{d_idx}"] = conv_init(rk, cout, cout)
+                    blk[f"convs2_{d_idx}"] = conv_init(rk, cout, cout)
+                else:
+                    blk[f"convs_{d_idx}"] = conv_init(rk, cout, cout)
+            params[f"res_{i}_{j}"] = blk
+    final_ch = ch // (2 ** len(cfg.upsample_rates))
+    params["conv_post"] = conv_init(7, final_ch, 1)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint conversion
+# ---------------------------------------------------------------------------
+
+def _fold_weight_norm(state: dict) -> dict:
+    """Fold ``X.weight_g``/``X.weight_v`` into ``X.weight`` (torch
+    ``remove_weight_norm`` semantics: w = v·g/‖v‖ with the norm over all
+    dims except dim 0)."""
+    out = {}
+    done = set()
+    for key in state:
+        if key.endswith(".weight_v"):
+            base = key[: -len(".weight_v")]
+            v = np.asarray(state[key])
+            g = np.asarray(state[base + ".weight_g"])
+            axes = tuple(range(1, v.ndim))
+            norm = np.sqrt((v ** 2).sum(axis=axes, keepdims=True))
+            out[base + ".weight"] = v * (g / norm)
+            done.add(key)
+            done.add(base + ".weight_g")
+    for key, val in state.items():
+        if key not in done:
+            out[key] = np.asarray(val)
+    return out
+
+
+def hifigan_torch_to_params(state: dict, cfg: HiFiGANConfig) -> dict:
+    """Official checkpoint ``generator`` state dict → our param tree."""
+    state = _fold_weight_norm(state)
+
+    def conv(prefix):
+        w = state[f"{prefix}.weight"]            # (out, in, k)
+        return {"kernel": np.transpose(w, (2, 1, 0)),
+                "bias": state[f"{prefix}.bias"]}
+
+    params = {"conv_pre": conv("conv_pre"),
+              "conv_post": conv("conv_post")}
+    n_kernels = len(cfg.resblock_kernel_sizes)
+    for i in range(len(cfg.upsample_rates)):
+        w = state[f"ups.{i}.weight"]             # (in, out, k) — keep layout
+        params[f"ups_{i}"] = {"kernel": w, "bias": state[f"ups.{i}.bias"]}
+        for j in range(n_kernels):
+            r = i * n_kernels + j
+            blk = {}
+            n_d = len(cfg.resblock_dilation_sizes[j])
+            for d_idx in range(n_d):
+                if cfg.resblock == "1":
+                    blk[f"convs1_{d_idx}"] = conv(
+                        f"resblocks.{r}.convs1.{d_idx}")
+                    blk[f"convs2_{d_idx}"] = conv(
+                        f"resblocks.{r}.convs2.{d_idx}")
+                else:
+                    blk[f"convs_{d_idx}"] = conv(
+                        f"resblocks.{r}.convs.{d_idx}")
+            params[f"res_{i}_{j}"] = blk
+    return params
+
+
+class Vocoder:
+    """Drop-in equivalent of the reference ``Vocoder`` wrapper
+    (``vocoder.py:16-36``): loads checkpoint + sibling config.json, jits the
+    generator; ``__call__`` maps a (T, 80) mel to a (T·256,) waveform."""
+
+    def __init__(self, checkpoint_path: str, config_path: str = None):
+        config_path = config_path or os.path.join(
+            os.path.dirname(checkpoint_path), "config.json")
+        self.cfg = HiFiGANConfig.from_json(config_path) \
+            if os.path.exists(config_path) else HiFiGANConfig()
+        self.params = self._load(checkpoint_path)
+        self._apply = jax.jit(
+            lambda p, mel: generator_apply(p, mel, self.cfg))
+
+    def _load(self, path: str) -> dict:
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu")
+        state = ckpt["generator"] if "generator" in ckpt else ckpt
+        state = {k: v.numpy() for k, v in state.items()}
+        return jax.tree_util.tree_map(
+            jnp.asarray, hifigan_torch_to_params(state, self.cfg))
+
+    def __call__(self, mel: np.ndarray) -> np.ndarray:
+        mel = np.asarray(mel, dtype=np.float32)
+        audio = self._apply(self.params, mel[None])
+        return np.asarray(audio)[0]

@@ -1,0 +1,154 @@
+"""HiFi-GAN generator: op-level parity vs torch and structural checks."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from silent_speech_tpu.models.hifigan import (
+    HiFiGANConfig, conv1d, conv_transpose1d, generator_apply,
+    init_generator_params, hifigan_torch_to_params, _fold_weight_norm,
+)
+
+SMALL = HiFiGANConfig(
+    resblock="1", upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+    upsample_initial_channel=32, resblock_kernel_sizes=(3,),
+    resblock_dilation_sizes=((1, 2),), num_mels=8)
+
+
+def test_conv1d_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 50, 6)).astype(np.float32)
+    w = rng.normal(size=(5, 6, 10)).astype(np.float32)  # (k, in, out)
+    b = rng.normal(size=(10,)).astype(np.float32)
+    for dilation, padding in ((1, 2), (3, 6)):
+        ours = conv1d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                      padding=padding, dilation=dilation)
+        tw = torch.tensor(np.transpose(w, (2, 1, 0)))  # (out, in, k)
+        ref = torch.nn.functional.conv1d(
+            torch.tensor(np.transpose(x, (0, 2, 1))), tw, torch.tensor(b),
+            padding=padding, dilation=dilation)
+        ref = np.transpose(ref.numpy(), (0, 2, 1))
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-4)
+
+
+def test_conv_transpose1d_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 30, 6)).astype(np.float32)
+    for k, stride in ((8, 4), (4, 2), (16, 8)):
+        padding = (k - stride) // 2
+        w = rng.normal(size=(6, 12, k)).astype(np.float32)  # (in, out, k)
+        b = rng.normal(size=(12,)).astype(np.float32)
+        ours = conv_transpose1d(jnp.asarray(x), jnp.asarray(w),
+                                jnp.asarray(b), stride=stride,
+                                padding=padding)
+        ref = torch.nn.functional.conv_transpose1d(
+            torch.tensor(np.transpose(x, (0, 2, 1))), torch.tensor(w),
+            torch.tensor(b), stride=stride, padding=padding)
+        ref = np.transpose(ref.numpy(), (0, 2, 1))
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-4)
+
+
+def test_generator_output_length_and_jit():
+    params = init_generator_params(jax.random.PRNGKey(0), SMALL)
+    mel = jnp.zeros((1, 20, 8))
+    audio = jax.jit(lambda p, m: generator_apply(p, m, SMALL))(params, mel)
+    assert audio.shape == (1, 20 * SMALL.hop_length)
+    assert SMALL.hop_length == 8
+    assert np.isfinite(np.asarray(audio)).all()
+
+
+def test_fold_weight_norm_matches_torch():
+    torch = pytest.importorskip("torch")
+    conv = torch.nn.Conv1d(4, 6, 3)
+    wn = torch.nn.utils.weight_norm(conv)
+    state = {f"c.{k}": v.detach().numpy()
+             for k, v in wn.state_dict().items()}
+    folded = _fold_weight_norm(state)
+    torch.nn.utils.remove_weight_norm(wn)
+    np.testing.assert_allclose(folded["c.weight"],
+                               wn.weight.detach().numpy(), atol=1e-6)
+
+
+def _torch_oracle_generator(state, cfg, mel_np):
+    """Reimplementation of the published generator with torch functional ops
+    (independent oracle for the converted-weights forward pass)."""
+    import torch
+    import torch.nn.functional as F
+
+    s = {k: torch.tensor(v) for k, v in state.items()}
+    x = torch.tensor(np.transpose(mel_np, (0, 2, 1)))
+    x = F.conv1d(x, s["conv_pre.weight"], s["conv_pre.bias"], padding=3)
+    nk = len(cfg.resblock_kernel_sizes)
+    for i, (rate, ksize) in enumerate(zip(cfg.upsample_rates,
+                                          cfg.upsample_kernel_sizes)):
+        x = F.leaky_relu(x, 0.1)
+        x = F.conv_transpose1d(x, s[f"ups.{i}.weight"], s[f"ups.{i}.bias"],
+                               stride=rate, padding=(ksize - rate) // 2)
+        acc = None
+        for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes,
+                                         cfg.resblock_dilation_sizes)):
+            h = x
+            r = i * nk + j
+            for d_idx, d in enumerate(rd):
+                y = F.leaky_relu(h, 0.1)
+                y = F.conv1d(y, s[f"resblocks.{r}.convs1.{d_idx}.weight"],
+                             s[f"resblocks.{r}.convs1.{d_idx}.bias"],
+                             padding=(rk * d - d) // 2, dilation=d)
+                y = F.leaky_relu(y, 0.1)
+                y = F.conv1d(y, s[f"resblocks.{r}.convs2.{d_idx}.weight"],
+                             s[f"resblocks.{r}.convs2.{d_idx}.bias"],
+                             padding=(rk - 1) // 2)
+                h = h + y
+            acc = h if acc is None else acc + h
+        x = acc / nk
+    x = F.leaky_relu(x, 0.1)
+    x = F.conv1d(x, s["conv_post.weight"], s["conv_post.bias"], padding=3)
+    return torch.tanh(x).numpy()[:, 0, :]
+
+
+def test_generator_parity_with_torch_oracle():
+    pytest.importorskip("torch")
+    rng = np.random.default_rng(2)
+    cfg = SMALL
+
+    # official-naming random state dict (already weight-norm-free)
+    state = {}
+    ch = cfg.upsample_initial_channel
+
+    def rconv(name, cin, cout, k):
+        state[f"{name}.weight"] = rng.normal(
+            size=(cout, cin, k)).astype(np.float32) * 0.1
+        state[f"{name}.bias"] = rng.normal(size=(cout,)).astype(
+            np.float32) * 0.1
+
+    rconv("conv_pre", cfg.num_mels, ch, 7)
+    nk = len(cfg.resblock_kernel_sizes)
+    for i, (rate, ksize) in enumerate(zip(cfg.upsample_rates,
+                                          cfg.upsample_kernel_sizes)):
+        cin, cout = ch // (2 ** i), ch // (2 ** (i + 1))
+        state[f"ups.{i}.weight"] = rng.normal(
+            size=(cin, cout, ksize)).astype(np.float32) * 0.1
+        state[f"ups.{i}.bias"] = rng.normal(size=(cout,)).astype(
+            np.float32) * 0.1
+        for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes,
+                                         cfg.resblock_dilation_sizes)):
+            r = i * nk + j
+            for d_idx in range(len(rd)):
+                rconv(f"resblocks.{r}.convs1.{d_idx}", cout, cout, rk)
+                rconv(f"resblocks.{r}.convs2.{d_idx}", cout, cout, rk)
+    final = ch // (2 ** len(cfg.upsample_rates))
+    rconv("conv_post", final, 1, 7)
+
+    mel = rng.normal(size=(1, 25, cfg.num_mels)).astype(np.float32)
+    expected = _torch_oracle_generator(state, cfg, mel)
+
+    params = hifigan_torch_to_params(state, cfg)
+    ours = generator_apply(jax.tree_util.tree_map(jnp.asarray, params),
+                           jnp.asarray(mel), cfg)
+    assert ours.shape == expected.shape
+    np.testing.assert_allclose(np.asarray(ours), expected, atol=2e-4)
