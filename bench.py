@@ -81,15 +81,15 @@ def main():
     # warmup / compile; float() forces a real host sync (block_until_ready
     # is not a reliable barrier through the axon relay)
     for _ in range(4):
-        trainer.state, metrics = trainer._train_step(trainer.state, db,
-                                                     step_rng)
+        trainer.state, metrics = trainer._train_step(
+            trainer.state, db, step_rng, batch.num_silent)
     float(metrics["loss"])
 
     n_steps = 20
     t0 = time.time()
     for _ in range(n_steps):
-        trainer.state, metrics = trainer._train_step(trainer.state, db,
-                                                     step_rng)
+        trainer.state, metrics = trainer._train_step(
+            trainer.state, db, step_rng, batch.num_silent)
     float(metrics["loss"])
     dt = time.time() - t0
 

@@ -28,6 +28,9 @@ class ModelConfig:
     relative_positional_distance: int = 100
     raw_channels: int = 8          # EMG electrodes into the conv stack
     downsample_factor: int = 8     # 3× stride-2 ResBlocks
+    # MXU compute precision for the encoder body (params/norms/heads stay
+    # float32); TPU-first default is bfloat16
+    compute_dtype: str = "bfloat16"
     # BatchNorm cross-replica sync axis; None = per-device stats.
     bn_axis_name: Optional[str] = "data"
 
@@ -214,6 +217,8 @@ def define_flags() -> None:
     # TPU-native additions
     _i("model_parallel", 1, "size of the model (tensor-parallel) mesh axis")
     _i("chunk_bucket", 8, "pad packed batches to a multiple of this many chunks")
+    _s("compute_dtype", "bfloat16", "encoder compute dtype "
+                                    "(bfloat16|float32)")
 
     _FLAGS_REGISTERED = True
 
@@ -227,6 +232,7 @@ def config_from_flags() -> Config:
     cfg.model.model_size = F.model_size
     cfg.model.num_layers = F.num_layers
     cfg.model.dropout = F.dropout
+    cfg.model.compute_dtype = F.compute_dtype
     cfg.data.remove_channels = [int(c) for c in F.remove_channels]
     cfg.data.silent_data_directories = list(F.silent_data_directories)
     cfg.data.voiced_data_directories = list(F.voiced_data_directories)

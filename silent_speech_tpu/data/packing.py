@@ -124,6 +124,10 @@ class PackedBatch:
     text_len: np.ndarray
     audio_features: Optional[np.ndarray] = None
     texts: List[str] = field(default_factory=list)
+    # number of leading silent utterances (packers sort silent-first), padded
+    # up to a bucket; None when silent examples are not a prefix. Static —
+    # the loss uses it to run the DTW DP only on the silent slice.
+    num_silent: Optional[int] = None
 
     @property
     def num_chunks(self) -> int:
@@ -154,7 +158,9 @@ class PackedBatch:
 def pack_batch(examples: Sequence[dict], seq_len: int = 200,
                raw_factor: int = 8, chunk_bucket: int = 8,
                utt_bucket: int = 8, text_bucket: int = 64,
-               with_audio: bool = True) -> PackedBatch:
+               with_audio: bool = True,
+               sort_silent_first: bool = True,
+               silent_bucket: int = 4) -> PackedBatch:
     """Build a :class:`PackedBatch` from dataset example dicts.
 
     Each example dict follows the reference ``EMGDataset.__getitem__`` schema
@@ -163,6 +169,13 @@ def pack_batch(examples: Sequence[dict], seq_len: int = 200,
     and for loss targets either ``audio_features`` or
     ``parallel_voiced_audio_features``.
     """
+    if sort_silent_first:
+        examples = sorted(examples, key=lambda e: not bool(e["silent"]))
+    n_sil_real = sum(1 for e in examples if e["silent"])
+    silent_is_prefix = all(
+        bool(e["silent"]) == (i < n_sil_real)
+        for i, e in enumerate(examples))
+
     emg_list = [np.asarray(e["emg"], dtype=np.float32) for e in examples]
     raw_list = [np.asarray(e["raw_emg"], dtype=np.float32) for e in examples]
     sess_list = [np.asarray(e["session_ids"], dtype=np.int32)
@@ -233,6 +246,11 @@ def pack_batch(examples: Sequence[dict], seq_len: int = 200,
         text_int[i, : len(t)] = t[:text_max]
         text_len[i] = min(len(t), text_max)
 
+    num_silent = None
+    if silent_is_prefix:
+        num_silent = min(-(-max(n_sil_real, 0) // silent_bucket)
+                         * silent_bucket, u) if n_sil_real else 0
+
     return PackedBatch(
         emg=emg, raw_emg=raw, session_ids=sess, segment_ids=seg,
         utt_gather_idx=utt_gather_idx, utt_len=utt_len,
@@ -240,4 +258,5 @@ def pack_batch(examples: Sequence[dict], seq_len: int = 200,
         text_int=text_int, text_len=text_len,
         audio_features=audio_features,
         texts=[e.get("text", "") for e in examples],
+        num_silent=num_silent,
     )

@@ -58,12 +58,18 @@ def gather_utterances(flat: jnp.ndarray, gather_idx: jnp.ndarray
 
 def transduction_loss(pred: jnp.ndarray, phoneme_pred: jnp.ndarray,
                       batch, phoneme_loss_weight: float = 0.5,
-                      phoneme_eval: bool = False) -> TransductionLossOut:
+                      phoneme_eval: bool = False,
+                      n_silent: Optional[int] = None) -> TransductionLossOut:
     """Args:
       pred:          (N, L, 80) packed mel predictions.
       phoneme_pred:  (N, L, 48) packed phoneme logits.
       batch:         a PackedBatch already on device (jnp arrays).
       phoneme_eval:  also compute the (48, 48) confusion matrix.
+      n_silent:      static count of leading silent utterances (the packer
+        sorts silent-first and pads to a small bucket). When given, the
+        O(T²) distance/phoneme matrices and the DTW DP run only on that
+        slice — voiced utterances need just the framewise path. None =
+        run the full-batch DP (always correct, more work).
     """
     d_out = pred.shape[-1]
     flat_pred = pred.reshape(-1, d_out)
@@ -85,21 +91,28 @@ def transduction_loss(pred: jnp.ndarray, phoneme_pred: jnp.ndarray,
     lsm = jax.nn.log_softmax(utt_phone, axis=-1)  # (U, T, 48)
     phone_onehot = jax.nn.one_hot(y_phone, NUM_PHONES, dtype=lsm.dtype)
 
-    # ---- silent path: DTW over combined cost --------------------------
-    dists = pairwise_l2(utt_pred, y)              # (U, Tpred, Ttgt)
-    # phone_lp[u, tp, tt] = lsm[u, tp, y_phone[u, tt]]
-    phone_lp = jnp.einsum("upk,utk->upt", lsm, phone_onehot)
-    costs = dists + phoneme_loss_weight * (-phone_lp)
+    # ---- silent path: DTW over combined cost (silent slice only) ------
+    k = u if n_silent is None else min(max(n_silent, 0), u)
+    if k > 0:
+        dists = pairwise_l2(utt_pred[:k], y[:k])  # (K, Tpred, Ttgt)
+        # phone_lp[u, tp, tt] = lsm[u, tp, y_phone[u, tt]]
+        phone_lp = jnp.einsum("upk,utk->upt", lsm[:k], phone_onehot[:k])
+        costs = dists + phoneme_loss_weight * (-phone_lp)
 
-    # DTW orientation: rows = target frames (reference aligns costs.T)
-    costs_t = jnp.swapaxes(costs, 1, 2)           # (U, Ttgt, Tpred)
-    alignment, _ = dtw_align_batch(
-        jax.lax.stop_gradient(costs_t),
-        jnp.maximum(tgt_len, 1), jnp.maximum(utt_len, 1))
-    # loss per target frame: costs_t[u, t, alignment[u, t]]
-    picked = jnp.take_along_axis(costs_t, alignment[:, :, None],
-                                 axis=2)[..., 0]  # (U, Ttgt)
-    silent_losses = jnp.sum(jnp.where(tgt_mask, picked, 0.0), axis=1)
+        # DTW orientation: rows = target frames (reference aligns costs.T)
+        costs_t = jnp.swapaxes(costs, 1, 2)       # (K, Ttgt, Tpred)
+        alignment_k, _ = dtw_align_batch(
+            jax.lax.stop_gradient(costs_t),
+            jnp.maximum(tgt_len[:k], 1), jnp.maximum(utt_len[:k], 1))
+        # loss per target frame: costs_t[u, t, alignment[u, t]]
+        picked = jnp.take_along_axis(costs_t, alignment_k[:, :, None],
+                                     axis=2)[..., 0]  # (K, Ttgt)
+        silent_k = jnp.sum(jnp.where(tgt_mask[:k], picked, 0.0), axis=1)
+        silent_losses = jnp.pad(silent_k, (0, u - k))
+        alignment = jnp.pad(alignment_k, ((0, u - k), (0, 0)))
+    else:
+        silent_losses = jnp.zeros((u,), pred.dtype)
+        alignment = jnp.zeros((u, t_max), jnp.int32)
 
     # ---- voiced path: framewise distance + CE -------------------------
     diff = y - utt_pred

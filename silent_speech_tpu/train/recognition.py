@@ -45,11 +45,15 @@ def _round_up(x: int, m: int) -> int:
 
 
 class RecognitionTrainer:
-    def __init__(self, cfg: Config, mesh=None, dtype=jnp.float32,
+    def __init__(self, cfg: Config, mesh=None, dtype=None,
                  use_segment_mask: bool = False):
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh(
             cfg.mesh.data_parallel, cfg.mesh.model_parallel)
+        if dtype is None:
+            dtype = (jnp.bfloat16
+                     if cfg.model.compute_dtype == "bfloat16"
+                     else jnp.float32)
         self.text_transform = TextTransform()
         self.n_chars = len(self.text_transform.chars)
         self.blank_id = self.n_chars  # blank = last (recognition_model.py:33)

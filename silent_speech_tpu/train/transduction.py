@@ -49,11 +49,15 @@ def _round_up(x: int, m: int) -> int:
 
 class TransductionTrainer:
     def __init__(self, cfg: Config, num_mel_bins: int = 80,
-                 mesh=None, dtype=jnp.float32,
+                 mesh=None, dtype=None,
                  use_segment_mask: bool = False):
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh(
             cfg.mesh.data_parallel, cfg.mesh.model_parallel)
+        if dtype is None:
+            dtype = (jnp.bfloat16
+                     if cfg.model.compute_dtype == "bfloat16"
+                     else jnp.float32)
         self.dtype = dtype
         self.use_segment_mask = use_segment_mask
         self.model = EMGEncoder(
@@ -85,7 +89,7 @@ class TransductionTrainer:
     def _build_train_step(self):
         w = self.cfg.transduction.phoneme_loss_weight
 
-        def train_step(state: TrainState, batch, rng):
+        def train_step(state: TrainState, batch, rng, n_silent):
             step_rng = jax.random.fold_in(rng, state.step)
             shift_rng, dropout_rng = jax.random.split(step_rng)
 
@@ -94,7 +98,8 @@ class TransductionTrainer:
                     params, state.batch_stats, batch, train=True,
                     rngs={"shift": shift_rng, "dropout": dropout_rng},
                     mutable=True)
-                out = transduction_loss(pred, phone, batch, w)
+                out = transduction_loss(pred, phone, batch, w,
+                                        n_silent=n_silent)
                 return out.loss, (mutated["batch_stats"], out)
 
             (loss, (bs, out)), grads = jax.value_and_grad(
@@ -104,20 +109,21 @@ class TransductionTrainer:
                        "total": out.total_length}
             return new_state, metrics
 
-        return jax.jit(train_step, donate_argnums=(0,))
+        return jax.jit(train_step, donate_argnums=(0,),
+                       static_argnums=(3,))
 
     def _build_eval_step(self):
         w = self.cfg.transduction.phoneme_loss_weight
 
-        def eval_step(params, batch_stats, batch):
+        def eval_step(params, batch_stats, batch, n_silent):
             pred, phone = self._apply(params, batch_stats, batch,
                                       train=False)
             out = transduction_loss(pred, phone, batch, w,
-                                    phoneme_eval=True)
+                                    phoneme_eval=True, n_silent=n_silent)
             return {"loss": out.loss, "correct": out.correct_phones,
                     "total": out.total_length, "confusion": out.confusion}
 
-        return jax.jit(eval_step)
+        return jax.jit(eval_step, static_argnums=(3,))
 
     def _build_forward(self):
         def forward(params, batch_stats, emg, raw, sess):
@@ -194,7 +200,8 @@ class TransductionTrainer:
                                cfg.learning_rate_warmup) * plateau.scale
                 self.state = self.state.replace(
                     opt_state=set_learning_rate(self.state.opt_state, lr))
-                self.state, metrics = self._train_step(self.state, db, rng)
+                self.state, metrics = self._train_step(
+                    self.state, db, rng, batch.num_silent)
                 losses.append(metrics["loss"])
                 global_step += 1
                 n_steps += 1
@@ -246,7 +253,7 @@ class TransductionTrainer:
             batch = self._pack(examples)
             db = shard_batch(batch.device_batch(), self.mesh)
             m = self._eval_step(self.state.params, self.state.batch_stats,
-                                db)
+                                db, batch.num_silent)
             total_loss += float(m["loss"])
             total_batches += 1
             correct += int(m["correct"])

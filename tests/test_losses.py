@@ -79,7 +79,8 @@ def test_transduction_loss_matches_oracle():
         _fake_example(rng, 70, silent=True, t_tgt=64),
         _fake_example(rng, 33, silent=False),
     ]
-    batch = pack_batch(examples, seq_len=40, chunk_bucket=2, utt_bucket=4)
+    batch = pack_batch(examples, seq_len=40, chunk_bucket=2, utt_bucket=4,
+                       sort_silent_first=False)
 
     # fabricate model outputs on the packed layout, then pull out the ragged
     # views for the oracle through the same gather indices
@@ -164,3 +165,31 @@ def test_ctc_loss_matches_torch():
         log_probs, targets, torch.tensor(lengths),
         torch.tensor([len(e["text_int"]) for e in examples]), blank=37)
     assert float(out) == pytest.approx(float(expected), rel=1e-4)
+
+
+def test_silent_slice_matches_full_dp():
+    """n_silent (silent-first packing) must not change the loss/metrics."""
+    rng = np.random.default_rng(3)
+    examples = [
+        _fake_example(rng, 45, silent=True, t_tgt=50),
+        _fake_example(rng, 30, silent=False),
+        _fake_example(rng, 62, silent=True, t_tgt=58),
+        _fake_example(rng, 25, silent=False),
+    ]
+    batch = pack_batch(examples, seq_len=40, chunk_bucket=2, utt_bucket=4,
+                       silent_bucket=2)
+    assert batch.num_silent == 2  # sorted silent-first, bucketed
+    n, L = batch.emg.shape[:2]
+    pred = rng.normal(size=(n, L, 80)).astype(np.float32)
+    phone = rng.normal(size=(n, L, 48)).astype(np.float32)
+    db = jax.tree_util.tree_map(jnp.asarray, batch.device_batch())
+
+    full = transduction_loss(jnp.asarray(pred), jnp.asarray(phone), db,
+                             phoneme_eval=True, n_silent=None)
+    sliced = transduction_loss(jnp.asarray(pred), jnp.asarray(phone), db,
+                               phoneme_eval=True,
+                               n_silent=batch.num_silent)
+    assert float(sliced.loss) == pytest.approx(float(full.loss), rel=1e-5)
+    assert int(sliced.correct_phones) == int(full.correct_phones)
+    np.testing.assert_allclose(np.asarray(sliced.confusion),
+                               np.asarray(full.confusion))

@@ -29,6 +29,7 @@ def _cfg(corpus_cfg, out):
     cfg.model.num_layers = 2
     cfg.model.dim_feedforward = 128
     cfg.model.dropout = 0.0
+    cfg.model.compute_dtype = "float32"
     cfg.recognition.output_directory = out
     cfg.recognition.max_batch_len = 8000
     cfg.recognition.lm_path = ""  # no LM file in tests

@@ -24,6 +24,7 @@ def _tiny_config(corpus_cfg, out_dir):
     cfg.model.num_layers = 2
     cfg.model.dim_feedforward = 128
     cfg.model.dropout = 0.0
+    cfg.model.compute_dtype = "float32"  # determinism across meshes
     cfg.transduction.output_directory = out_dir
     cfg.transduction.learning_rate = 1e-3
     cfg.transduction.learning_rate_warmup = 10
@@ -63,7 +64,8 @@ def test_single_device_training_decreases_loss(corpus, sets, tmp_path):
         db = shard_batch(batch.device_batch(), mesh)
         trainer.state = trainer.state.replace(
             opt_state=set_learning_rate(trainer.state.opt_state, 1e-3))
-        trainer.state, metrics = trainer._train_step(trainer.state, db, rng)
+        trainer.state, metrics = trainer._train_step(
+            trainer.state, db, rng, batch.num_silent)
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], f"no learning: {losses}"
@@ -148,7 +150,8 @@ def test_multidevice_data_parallel_training(corpus, sets, tmp_path):
     db = shard_batch(batches[0].device_batch(), mesh)
     trainer.state = trainer.state.replace(
         opt_state=set_learning_rate(trainer.state.opt_state, 1e-3))
-    state2, metrics = trainer._train_step(trainer.state, db, rng)
+    state2, metrics = trainer._train_step(trainer.state, db, rng,
+                                          batches[0].num_silent)
     assert np.isfinite(float(metrics["loss"]))
 
     # parity: the sharded step computes the same loss as single-device
@@ -158,7 +161,8 @@ def test_multidevice_data_parallel_training(corpus, sets, tmp_path):
     db1 = shard_batch(batches[0].device_batch(), mesh1)
     trainer1.state = trainer1.state.replace(
         opt_state=set_learning_rate(trainer1.state.opt_state, 1e-3))
-    _, metrics1 = trainer1._train_step(trainer1.state, db1, rng)
+    _, metrics1 = trainer1._train_step(trainer1.state, db1, rng,
+                                       batches[0].num_silent)
     assert float(metrics["loss"]) == pytest.approx(
         float(metrics1["loss"]), rel=2e-4)
 
