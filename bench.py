@@ -63,7 +63,6 @@ def main():
 
     from silent_speech_tpu.config import Config
     from silent_speech_tpu.parallel.mesh import make_mesh, shard_batch
-    from silent_speech_tpu.train.state import set_learning_rate
     from silent_speech_tpu.train.transduction import TransductionTrainer
 
     cfg = Config()  # full-size reference architecture
@@ -74,22 +73,21 @@ def main():
     batch = build_batch(rng)
     trainer.init_state(batch, seed=0)
     db = shard_batch(batch.device_batch(), mesh)
-    trainer.state = trainer.state.replace(
-        opt_state=set_learning_rate(trainer.state.opt_state, 1e-3))
     step_rng = jax.random.PRNGKey(0)
+    lr = np.float32(1e-3)
 
     # warmup / compile; float() forces a real host sync (block_until_ready
     # is not a reliable barrier through the axon relay)
     for _ in range(4):
         trainer.state, metrics = trainer._train_step(
-            trainer.state, db, step_rng, batch.num_silent)
+            trainer.state, db, step_rng, lr, batch.num_silent)
     float(metrics["loss"])
 
     n_steps = 20
     t0 = time.time()
     for _ in range(n_steps):
         trainer.state, metrics = trainer._train_step(
-            trainer.state, db, step_rng, batch.num_silent)
+            trainer.state, db, step_rng, lr, batch.num_silent)
     float(metrics["loss"])
     dt = time.time() - t0
 

@@ -46,6 +46,35 @@ def relative_position_index(q_len: int, k_len: int, max_dist: int
     return idx.astype(np.int32), valid
 
 
+def _relative_to_absolute(rel_logits: jnp.ndarray, t: int, max_dist: int,
+                          dtype) -> jnp.ndarray:
+    """(B, H, T, 2M−1) per-relative-position logits → (B, H, T, T) absolute.
+
+    Uses the pad/reshape "skew" (Music-Transformer style) instead of a
+    take-along-axis gather: the backward pass is then pure reshapes rather
+    than a scatter-add, which matters on TPU. Relative positions beyond
+    ±(M−1) contribute the NEG_INF mask, matching the reference's padded
+    zero-embeddings + −1e8 (``transformer.py:199-262``).
+    """
+    b, h = rel_logits.shape[:2]
+    w = 2 * max_dist - 1
+    neg = jnp.asarray(NEG_INF, dtype)
+    if t >= max_dist:
+        pad = t - max_dist  # OOR slots on each side
+        x = jnp.concatenate([
+            jnp.full((b, h, t, pad), neg, dtype), rel_logits,
+            jnp.full((b, h, t, pad), neg, dtype)], axis=-1)
+    else:
+        lo = max_dist - t
+        x = rel_logits[..., lo: lo + 2 * t - 1]
+    # x: (B, H, T, 2T-1); skew to absolute indexing
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 1)))          # (…, 2T)
+    x = x.reshape(b, h, 2 * t * t)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, t - 1)))
+    x = x.reshape(b, h, t + 1, 2 * t - 1)
+    return x[:, :, :t, t - 1:]
+
+
 class RelativePositionalAttention(nn.Module):
     """Multi-head self-attention with learned relative position logits.
 
@@ -92,15 +121,10 @@ class RelativePositionalAttention(nn.Module):
             d_head ** 0.5, cdt)
 
         t = x.shape[1]
-        idx, valid = relative_position_index(t, t, self.max_dist)
-        # (B, H, T, 2M-1) relative logits, gathered to absolute (T, T)
-        rel_logits = jnp.einsum("bhqa,hma->bhqm", q,
-                                rel_emb.astype(cdt))
-        gathered = jnp.take_along_axis(
-            rel_logits, jnp.asarray(idx)[None, None, :, :], axis=-1)
-        pos_logits = jnp.where(jnp.asarray(valid)[None, None], gathered,
-                               jnp.asarray(NEG_INF, cdt))
-        logits = logits + pos_logits
+        # (B, H, T, 2M-1) relative logits over the learned window
+        rel_logits = jnp.einsum("bhqa,hma->bhqm", q, rel_emb.astype(cdt))
+        logits = logits + _relative_to_absolute(rel_logits, t,
+                                                self.max_dist, cdt)
 
         if segment_ids is not None:
             same = segment_ids[:, None, :, None] == segment_ids[:, None,

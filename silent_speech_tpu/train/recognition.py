@@ -86,7 +86,9 @@ class RecognitionTrainer:
     def _build_train_step(self):
         blank = self.blank_id
 
-        def train_step(state: TrainState, batch, rng):
+        def train_step(state: TrainState, batch, rng, lr):
+            state = state.replace(
+                opt_state=set_learning_rate(state.opt_state, lr))
             step_rng = jax.random.fold_in(rng, state.step)
             shift_rng, dropout_rng = jax.random.split(step_rng)
 
@@ -162,9 +164,8 @@ class RecognitionTrainer:
                 # reference counts warmup in batches, stepping every 2
                 lr = warmup_lr(global_step, cfg.learning_rate,
                                cfg.learning_rate_warmup) * multistep.scale
-                self.state = self.state.replace(
-                    opt_state=set_learning_rate(self.state.opt_state, lr))
-                self.state, metrics = self._train_step(self.state, db, rng)
+                self.state, metrics = self._train_step(self.state, db, rng,
+                                                       np.float32(lr))
                 losses.append(metrics["loss"])
                 global_step += 1
             train_loss = float(np.mean([float(l) for l in losses])) \

@@ -89,7 +89,12 @@ class TransductionTrainer:
     def _build_train_step(self):
         w = self.cfg.transduction.phoneme_loss_weight
 
-        def train_step(state: TrainState, batch, rng, n_silent):
+        def train_step(state: TrainState, batch, rng, lr, n_silent):
+            # LR is a traced scalar arg — never poke opt_state from the
+            # host between steps (an eager dispatch per step is disastrous
+            # through the remote-device relay)
+            state = state.replace(
+                opt_state=set_learning_rate(state.opt_state, lr))
             step_rng = jax.random.fold_in(rng, state.step)
             shift_rng, dropout_rng = jax.random.split(step_rng)
 
@@ -110,7 +115,7 @@ class TransductionTrainer:
             return new_state, metrics
 
         return jax.jit(train_step, donate_argnums=(0,),
-                       static_argnums=(3,))
+                       static_argnums=(4,))
 
     def _build_eval_step(self):
         w = self.cfg.transduction.phoneme_loss_weight
@@ -198,10 +203,8 @@ class TransductionTrainer:
                 db = shard_batch(batch.device_batch(), self.mesh)
                 lr = warmup_lr(global_step, cfg.learning_rate,
                                cfg.learning_rate_warmup) * plateau.scale
-                self.state = self.state.replace(
-                    opt_state=set_learning_rate(self.state.opt_state, lr))
                 self.state, metrics = self._train_step(
-                    self.state, db, rng, batch.num_silent)
+                    self.state, db, rng, np.float32(lr), batch.num_silent)
                 losses.append(metrics["loss"])
                 global_step += 1
                 n_steps += 1

@@ -12,7 +12,6 @@ from silent_speech_tpu.data.dataset import EMGDataset
 from silent_speech_tpu.data.synthetic import generate_corpus
 from silent_speech_tpu.parallel.mesh import make_mesh, shard_batch
 from silent_speech_tpu.train.recognition import RecognitionTrainer
-from silent_speech_tpu.train.state import set_learning_rate
 
 
 @pytest.fixture(scope="module")
@@ -55,9 +54,8 @@ def test_ctc_training_decreases_loss(corpus, tmp_path):
     for step in range(10):
         b = batches[step % len(batches)]
         db = shard_batch(b.device_batch(), mesh)
-        trainer.state = trainer.state.replace(
-            opt_state=set_learning_rate(trainer.state.opt_state, 3e-4))
-        trainer.state, m = trainer._train_step(trainer.state, db, rng)
+        trainer.state, m = trainer._train_step(trainer.state, db, rng,
+                                               np.float32(3e-4))
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     # grad-accum x2: effective updates every 2 steps; still must trend down

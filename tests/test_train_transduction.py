@@ -53,7 +53,6 @@ def test_single_device_training_decreases_loss(corpus, sets, tmp_path):
 
     losses = []
     from silent_speech_tpu.parallel.mesh import shard_batch
-    from silent_speech_tpu.train.state import set_learning_rate
 
     rng = jax.random.PRNGKey(0)
     batches = list(trainer.batches(trainset, seed=0))
@@ -62,10 +61,8 @@ def test_single_device_training_decreases_loss(corpus, sets, tmp_path):
     for step in range(8):
         batch = batches[step % len(batches)]
         db = shard_batch(batch.device_batch(), mesh)
-        trainer.state = trainer.state.replace(
-            opt_state=set_learning_rate(trainer.state.opt_state, 1e-3))
         trainer.state, metrics = trainer._train_step(
-            trainer.state, db, rng, batch.num_silent)
+            trainer.state, db, rng, np.float32(1e-3), batch.num_silent)
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], f"no learning: {losses}"
@@ -142,15 +139,13 @@ def test_multidevice_data_parallel_training(corpus, sets, tmp_path):
     trainer = TransductionTrainer(cfg, mesh=mesh)
 
     from silent_speech_tpu.parallel.mesh import shard_batch
-    from silent_speech_tpu.train.state import set_learning_rate
 
     batches = list(trainer.batches(trainset, seed=0))
     trainer.init_state(batches[0], seed=0)
     rng = jax.random.PRNGKey(0)
     db = shard_batch(batches[0].device_batch(), mesh)
-    trainer.state = trainer.state.replace(
-        opt_state=set_learning_rate(trainer.state.opt_state, 1e-3))
     state2, metrics = trainer._train_step(trainer.state, db, rng,
+                                          np.float32(1e-3),
                                           batches[0].num_silent)
     assert np.isfinite(float(metrics["loss"]))
 
@@ -159,9 +154,8 @@ def test_multidevice_data_parallel_training(corpus, sets, tmp_path):
     trainer1 = TransductionTrainer(cfg, mesh=mesh1)
     trainer1.init_state(batches[0], seed=0)
     db1 = shard_batch(batches[0].device_batch(), mesh1)
-    trainer1.state = trainer1.state.replace(
-        opt_state=set_learning_rate(trainer1.state.opt_state, 1e-3))
     _, metrics1 = trainer1._train_step(trainer1.state, db1, rng,
+                                       np.float32(1e-3),
                                        batches[0].num_silent)
     assert float(metrics["loss"]) == pytest.approx(
         float(metrics1["loss"]), rel=2e-4)
