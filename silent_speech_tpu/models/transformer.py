@@ -46,6 +46,37 @@ def relative_position_index(q_len: int, k_len: int, max_dist: int
     return idx.astype(np.int32), valid
 
 
+_P_CACHE = {}
+
+
+def _rel_scatter_matrices(t: int, max_dist: int):
+    """Constants for the matmul relative→absolute map at length t:
+    P (t, 2M−1, t) with P[q, m, k] = 1 iff m == k−q+M−1, and the OOR
+    −1e8 bias (t, t). Cached per (t, M)."""
+    key = (t, max_dist)
+    if key not in _P_CACHE:
+        q = np.arange(t)[:, None, None]
+        m = np.arange(2 * max_dist - 1)[None, :, None]
+        k = np.arange(t)[None, None, :]
+        p = (m == (k - q + max_dist - 1)).astype(np.float32)
+        rel = np.arange(t)[None, :] - np.arange(t)[:, None]
+        mask = np.where(np.abs(rel) <= max_dist - 1, 0.0, NEG_INF)
+        _P_CACHE[key] = (p, mask.astype(np.float32))
+    return _P_CACHE[key]
+
+
+def _relative_to_absolute_matmul(rel_logits: jnp.ndarray, t: int,
+                                 max_dist: int, dtype) -> jnp.ndarray:
+    """Matmul form of the relative→absolute map: one batched GEMM on the
+    MXU instead of pad/reshape shuffles (whose fwd+bwd are HBM-bound). The
+    P tensor is O(t²·M) so this path is used for the packed training length
+    (t ≈ 200); longer eval sequences take the skew path."""
+    p, mask = _rel_scatter_matrices(t, max_dist)
+    out = jnp.einsum("bhqm,qmk->bhqk", rel_logits, jnp.asarray(p, dtype),
+                     preferred_element_type=jnp.float32)
+    return out.astype(dtype) + jnp.asarray(mask, dtype)[None, None]
+
+
 def _relative_to_absolute(rel_logits: jnp.ndarray, t: int, max_dist: int,
                           dtype) -> jnp.ndarray:
     """(B, H, T, 2M−1) per-relative-position logits → (B, H, T, T) absolute.
@@ -123,8 +154,9 @@ class RelativePositionalAttention(nn.Module):
         t = x.shape[1]
         # (B, H, T, 2M-1) relative logits over the learned window
         rel_logits = jnp.einsum("bhqa,hma->bhqm", q, rel_emb.astype(cdt))
-        logits = logits + _relative_to_absolute(rel_logits, t,
-                                                self.max_dist, cdt)
+        rel2abs = (_relative_to_absolute_matmul if t <= 256
+                   else _relative_to_absolute)
+        logits = logits + rel2abs(rel_logits, t, self.max_dist, cdt)
 
         if segment_ids is not None:
             same = segment_ids[:, None, :, None] == segment_ids[:, None,

@@ -121,10 +121,35 @@ def dtw_align(costs: jnp.ndarray, n1: jnp.ndarray, n2: jnp.ndarray
 
 
 @jax.jit
-def dtw_align_batch(costs: jnp.ndarray, n1: jnp.ndarray, n2: jnp.ndarray
-                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def dtw_align_batch_scan(costs: jnp.ndarray, n1: jnp.ndarray,
+                         n2: jnp.ndarray
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """vmapped :func:`dtw_align` over (U, T1, T2) with (U,) lengths."""
     return jax.vmap(dtw_align)(costs, n1, n2)
+
+
+def _on_tpu() -> bool:
+    try:
+        dev = jax.devices()[0]
+        return "tpu" in (dev.platform + dev.device_kind).lower()
+    except Exception:
+        return False
+
+
+# VMEM budget for the fused kernel: cost block + DP scratch, both f32
+_PALLAS_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def dtw_align_batch(costs: jnp.ndarray, n1: jnp.ndarray, n2: jnp.ndarray
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched DTW; dispatches to the fused Pallas kernel on TPU when the
+    per-utterance buffers fit VMEM, else the lax.scan implementation."""
+    _, t1, t2 = costs.shape
+    if _on_tpu() and 2 * t1 * t2 * 4 <= _PALLAS_VMEM_BUDGET:
+        from .pallas.dtw_kernel import pallas_dtw_align_batch
+
+        return pallas_dtw_align_batch(costs, n1, n2)
+    return dtw_align_batch_scan(costs, n1, n2)
 
 
 def align_from_distances_numpy(distance_matrix: np.ndarray) -> list:

@@ -54,6 +54,7 @@ class RecognitionTrainer:
             dtype = (jnp.bfloat16
                      if cfg.model.compute_dtype == "bfloat16"
                      else jnp.float32)
+        jax.config.update("jax_default_prng_impl", "rbg")  # fast dropout RNG
         self.text_transform = TextTransform()
         self.n_chars = len(self.text_transform.chars)
         self.blank_id = self.n_chars  # blank = last (recognition_model.py:33)

@@ -106,3 +106,29 @@ def test_gradient_flows_through_gather():
     expected = np.zeros_like(base)
     expected[np.arange(12), align] = 1.0
     np.testing.assert_array_equal(g, expected)
+
+
+def test_pallas_kernel_interpret_matches_oracle():
+    """The fused Pallas DTW kernel (interpret mode on CPU) matches the
+    reference-semantics oracle, including padding and short utterances."""
+    from silent_speech_tpu.ops.pallas.dtw_kernel import \
+        pallas_dtw_align_batch
+
+    rng = np.random.default_rng(11)
+    t1, t2 = 40, 32
+    costs = rng.uniform(1.0, 2.0, size=(3, t1, t2)).astype(np.float32)
+    n1 = np.array([40, 17, 2], np.int32)
+    n2 = np.array([32, 9, 2], np.int32)
+    align, pc = pallas_dtw_align_batch(
+        jnp.asarray(costs), jnp.asarray(n1), jnp.asarray(n2),
+        interpret=True)
+    align = np.asarray(align)
+    for u in range(3):
+        expected = align_from_distances_numpy(costs[u, :n1[u], :n2[u]])
+        np.testing.assert_array_equal(align[u, : n1[u]], expected,
+                                      err_msg=f"utt {u}")
+        assert (align[u, n1[u]:] == 0).all()
+        # path cost matches the scan implementation's corner value
+        _, pc_scan = dtw_align(jnp.asarray(costs[u]),
+                               jnp.asarray(n1[u]), jnp.asarray(n2[u]))
+        assert float(pc[u]) == pytest.approx(float(pc_scan), rel=1e-4)
