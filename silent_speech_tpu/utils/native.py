@@ -44,10 +44,41 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ]
             lib.ssp_free.restype = None
             lib.ssp_free.argtypes = [ctypes.c_void_p]
+            lib.ssp_ctc_beam_decode.restype = ctypes.c_int32
+            lib.ssp_ctc_beam_decode.argtypes = [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_double, ctypes.c_double, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ]
+            lib.ssp_dtw_align.restype = ctypes.c_int32
+            lib.ssp_dtw_align.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_double),
+            ]
             _LIB = lib
         except OSError:
             _LIB = None
     return _LIB
+
+
+def build(force: bool = False) -> bool:
+    """Compile cpp/ into libssp_native.so (returns True on success)."""
+    global _LIB, _LIB_TRIED
+    import subprocess
+
+    if os.path.exists(_lib_path()) and not force:
+        return True
+    cpp_dir = os.path.dirname(os.path.dirname(_lib_path()))
+    try:
+        subprocess.run(["make", "-C", cpp_dir], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        return False
+    _LIB_TRIED = False
+    _LIB = None
+    return get_lib() is not None
 
 
 def has_flac() -> bool:
@@ -75,3 +106,37 @@ def read_flac(path: str) -> Tuple[np.ndarray, int]:
     if channels.value > 1:
         audio = audio.reshape(n, channels.value)
     return audio, rate.value
+
+
+def ctc_beam_decode(log_probs: np.ndarray, charset: str, blank_id: int,
+                    beam_width: int = 100, alpha: float = 0.0,
+                    beta: float = 0.0, prune_logp: float = -18.0,
+                    space: str = " "):
+    """Native no-LM prefix beam search (word bonus ``beta`` at spaces)."""
+    lib = get_lib()
+    assert lib is not None
+    lp = np.ascontiguousarray(log_probs, dtype=np.float64)
+    t, k = lp.shape
+    space_id = charset.index(space) if space in charset else -1
+    out = np.zeros(t, dtype=np.int32)
+    n = lib.ssp_ctc_beam_decode(
+        lp.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        t, k, blank_id, beam_width, prune_logp, beta, space_id,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), t)
+    return out[:n].tolist()
+
+
+def dtw_align_host(costs: np.ndarray):
+    """Native host DTW (reference align.py semantics); returns
+    (alignment list, path cost)."""
+    lib = get_lib()
+    assert lib is not None
+    c = np.ascontiguousarray(costs, dtype=np.float32)
+    t1, t2 = c.shape
+    alignment = np.zeros(t1, dtype=np.int32)
+    cost = ctypes.c_double(0.0)
+    lib.ssp_dtw_align(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), t1, t2,
+        alignment.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.byref(cost))
+    return alignment.tolist(), cost.value
