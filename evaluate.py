@@ -59,14 +59,10 @@ def main():
     trainers = [_load_trainer(cfg, f, batch) for f in flags.FLAGS.models]
     assert trainers, 'pass at least one --models checkpoint'
 
-    # loss / confusion with the first model's eval step on the ensemble?
-    # the reference ensembles head outputs; we evaluate each model's loss
-    # and report the first model's confusion alongside ensemble synthesis.
-    loss, acc, confusion = trainers[0].evaluate(testset)
+    ensemble = EnsemblePredictor(trainers)
+    loss, acc, confusion = ensemble.evaluate(testset)
     logging.info('loss: %.4f phoneme accuracy: %.2f', loss, acc * 100)
     print_confusion(confusion)
-
-    ensemble = EnsemblePredictor(trainers)
 
     from silent_speech_tpu.models.hifigan import Vocoder
     from silent_speech_tpu.utils.audio_io import write_wav

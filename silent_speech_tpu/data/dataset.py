@@ -57,9 +57,13 @@ class SessionDir:
 
 
 def load_audio_features(path: str, max_frames: Optional[int] = None,
-                        ) -> np.ndarray:
+                        renormalize_volume: bool = False) -> np.ndarray:
     """flac/wav → (T, 80) HiFi-GAN log-mel (``data_utils.py:64-83``)."""
     audio, rate = read_audio(path)
+    if renormalize_volume:
+        from ..dsp.audio_utils import normalize_volume
+
+        audio = normalize_volume(audio)
     if rate != 22050:
         audio = resample_poly_audio(audio, rate, 22050)
     audio = np.clip(audio, -1, 1)

@@ -37,10 +37,71 @@ class EnsemblePredictor:
     def __init__(self, trainers: Sequence):
         assert trainers, "need at least one model"
         self.trainers = list(trainers)
+        self._eval_step = None
 
     def predict(self, example: dict) -> np.ndarray:
         preds = [t.predict(example) for t in self.trainers]
         return np.mean(preds, axis=0)
+
+    def _stacked_variables(self):
+        import jax
+        import jax.numpy as jnp
+
+        params = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            *[t.state.params for t in self.trainers])
+        stats = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            *[t.state.batch_stats for t in self.trainers])
+        return params, stats
+
+    def evaluate(self, dataset, batch_size: int = 32):
+        """Ensemble validation loss / phoneme accuracy / confusion: both
+        heads are averaged across models *before* the loss, matching the
+        reference EnsembleModel semantics (``evaluate.py:27-34``)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..parallel.mesh import shard_batch
+        from ..phonemes import NUM_PHONES
+        from ..train.losses import transduction_loss
+
+        base = self.trainers[0]
+        w = base.cfg.transduction.phoneme_loss_weight
+
+        if self._eval_step is None:
+            def eval_step(params_s, stats_s, batch, n_silent):
+                def one(p, s):
+                    return base.model.apply(
+                        {"params": p, "batch_stats": s}, batch.emg,
+                        batch.raw_emg, batch.session_ids, train=False)
+
+                preds, phones = jax.vmap(one)(params_s, stats_s)
+                out = transduction_loss(
+                    preds.mean(0), phones.mean(0), batch, w,
+                    phoneme_eval=True, n_silent=n_silent)
+                return {"loss": out.loss, "correct": out.correct_phones,
+                        "total": out.total_length,
+                        "confusion": out.confusion}
+
+            self._eval_step = jax.jit(eval_step, static_argnums=(3,))
+
+        params_s, stats_s = self._stacked_variables()
+        total_loss = correct = total = batches = 0
+        confusion = np.zeros((NUM_PHONES, NUM_PHONES))
+        for start in range(0, len(dataset), batch_size):
+            examples = [dataset[i] for i in
+                        range(start, min(start + batch_size, len(dataset)))]
+            batch = base._pack(examples)
+            db = shard_batch(batch.device_batch(), base.mesh)
+            m = self._eval_step(params_s, stats_s, db, batch.num_silent)
+            total_loss += float(m["loss"])
+            batches += 1
+            correct += int(m["correct"])
+            total += int(m["total"])
+            confusion += np.asarray(m["confusion"])
+        return (total_loss / max(batches, 1), correct / max(total, 1),
+                confusion)
 
     def get_aligned_prediction(self, example: dict, audio_normalizer):
         import jax.numpy as jnp
