@@ -1,0 +1,62 @@
+"""CLI: fine-tune the HiFi-GAN vocoder on TPU.
+
+Completes the reference workflow's external step (``README.md:67-75``: 75k
+fine-tuning steps from the UNIVERSAL_V1 checkpoint on the output of
+``make_vocoder_trainset``) inside this framework:
+
+    python make_vocoder_trainset.py --model run/model.pt --output_directory voc_data
+    python finetune_vocoder.py --data_directory voc_data \
+        --hifigan_checkpoint g_02500000 --steps 75000 --output_directory voc_out
+"""
+
+import os
+import sys
+
+
+def main():
+    from absl import flags
+
+    from silent_speech_tpu.config import define_flags
+    from silent_speech_tpu.models.hifigan import HiFiGANConfig
+    from silent_speech_tpu.train.vocoder import (
+        VocoderDataSource, VocoderTrainer,
+    )
+    from silent_speech_tpu.utils.run_logging import (
+        setup_run_logging, log_run_provenance,
+    )
+
+    define_flags()
+    if "data_directory" not in flags.FLAGS:
+        flags.DEFINE_string("data_directory", None,
+                            "make_vocoder_trainset output directory")
+        flags.DEFINE_integer("steps", 75000, "fine-tuning steps")
+        flags.DEFINE_integer("vocoder_batch_size", 16, "segment batch size")
+        flags.DEFINE_string("filelist_prefix", "train",
+                            "which filelist to train on")
+    flags.FLAGS(sys.argv)
+    F = flags.FLAGS
+
+    out_dir = F.output_directory
+    setup_run_logging(out_dir)
+    log_run_provenance()
+
+    gen_cfg = HiFiGANConfig()
+    if F.hifigan_checkpoint:
+        cfg_json = os.path.join(os.path.dirname(F.hifigan_checkpoint),
+                                "config.json")
+        if os.path.exists(cfg_json):
+            gen_cfg = HiFiGANConfig.from_json(cfg_json)
+
+    trainer = VocoderTrainer(gen_cfg=gen_cfg)
+    if F.hifigan_checkpoint:
+        trainer.load_generator(F.hifigan_checkpoint)
+
+    source = VocoderDataSource(F.data_directory,
+                               prefix=F.filelist_prefix)
+    trainer.train(source, steps=F.steps,
+                  batch_size=F.vocoder_batch_size)
+    trainer.export_torch(os.path.join(out_dir, "generator_finetuned.pt"))
+
+
+if __name__ == "__main__":
+    main()

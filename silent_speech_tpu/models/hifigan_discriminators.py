@@ -1,0 +1,131 @@
+"""HiFi-GAN discriminators (for in-framework vocoder fine-tuning).
+
+The reference fine-tunes HiFi-GAN through the external PyTorch repo
+(``README.md:67-75``, 75k steps from UNIVERSAL_V1 on the aligned predicted
+mels from ``make_vocoder_trainset``). This module implements the published
+discriminator ensemble (arXiv:2010.05646) in Flax so fine-tuning runs
+TPU-native inside this framework:
+
+- **MPD** (multi-period): 5 sub-discriminators on the waveform reshaped to
+  (T/p, p) for periods 2/3/5/7/11, stacks of strided 2-D convs over the
+  time axis,
+- **MSD** (multi-scale): 3 sub-discriminators on ×1/×2/×4 average-pooled
+  audio, stacks of large-kernel grouped 1-D convs.
+
+Feature maps are returned for the feature-matching loss.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+LRELU_SLOPE = 0.1
+
+
+class PeriodDiscriminator(nn.Module):
+    period: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        """x (B, T) → (score (B, T'), feature maps)."""
+        b, t = x.shape
+        p = self.period
+        pad = (-t) % p
+        x = jnp.pad(x, ((0, 0), (0, pad)), mode="reflect" if t > 1
+                    else "constant")
+        x = x.reshape(b, (t + pad) // p, p, 1)  # (B, T/p, p, 1) NHWC
+
+        fmaps = []
+        channels = (32, 128, 512, 1024)
+        for i, ch in enumerate(channels):
+            x = nn.Conv(ch, kernel_size=(5, 1), strides=(3, 1),
+                        padding=((2, 2), (0, 0)), name=f"conv{i}")(x)
+            x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+            fmaps.append(x)
+        x = nn.Conv(1024, kernel_size=(5, 1), strides=(1, 1),
+                    padding=((2, 2), (0, 0)), name="conv4")(x)
+        x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        fmaps.append(x)
+        x = nn.Conv(1, kernel_size=(3, 1), padding=((1, 1), (0, 0)),
+                    name="conv_post")(x)
+        fmaps.append(x)
+        return x.reshape(b, -1), fmaps
+
+
+class ScaleDiscriminator(nn.Module):
+    @nn.compact
+    def __call__(self, x: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        """x (B, T) → (score, feature maps); 1-D conv stack, NHC layout."""
+        b = x.shape[0]
+        h = x[:, :, None]
+        cfg = [  # (channels, kernel, stride, groups)
+            (128, 15, 1, 1), (128, 41, 2, 4), (256, 41, 2, 16),
+            (512, 41, 4, 16), (1024, 41, 4, 16), (1024, 41, 1, 16),
+            (1024, 5, 1, 1),
+        ]
+        fmaps = []
+        for i, (ch, k, s, g) in enumerate(cfg):
+            h = nn.Conv(ch, kernel_size=(k,), strides=(s,),
+                        padding=[(k // 2, k // 2)], feature_group_count=g,
+                        name=f"conv{i}")(h)
+            h = jax.nn.leaky_relu(h, LRELU_SLOPE)
+            fmaps.append(h)
+        h = nn.Conv(1, kernel_size=(3,), padding=[(1, 1)],
+                    name="conv_post")(h)
+        fmaps.append(h)
+        return h.reshape(b, -1), fmaps
+
+
+class HiFiGANDiscriminators(nn.Module):
+    """MPD(2,3,5,7,11) + MSD(×1, ×2, ×4 avg-pooled)."""
+
+    periods: Sequence[int] = (2, 3, 5, 7, 11)
+
+    @nn.compact
+    def __call__(self, audio: jnp.ndarray):
+        """audio (B, T) → (scores list, feature-map lists)."""
+        scores, fmaps = [], []
+        for p in self.periods:
+            s, f = PeriodDiscriminator(period=p, name=f"mpd_{p}")(audio)
+            scores.append(s)
+            fmaps.append(f)
+        x = audio
+        for i in range(3):
+            if i > 0:
+                x = nn.avg_pool(x[:, :, None], window_shape=(4,),
+                                strides=(2,), padding=[(2, 2)])[:, :, 0]
+            s, f = ScaleDiscriminator(name=f"msd_{i}")(x)
+            scores.append(s)
+            fmaps.append(f)
+        return scores, fmaps
+
+
+def discriminator_loss(real_scores, fake_scores):
+    """LSGAN: Σ (1−D(y))² + D(ŷ)² over sub-discriminators."""
+    loss = 0.0
+    for r, f in zip(real_scores, fake_scores):
+        loss += jnp.mean((1.0 - r) ** 2) + jnp.mean(f ** 2)
+    return loss
+
+
+def generator_adversarial_loss(fake_scores):
+    """LSGAN generator side: Σ (1−D(ŷ))²."""
+    loss = 0.0
+    for f in fake_scores:
+        loss += jnp.mean((1.0 - f) ** 2)
+    return loss
+
+
+def feature_matching_loss(real_fmaps, fake_fmaps):
+    """Σ L1 between matched discriminator feature maps."""
+    loss = 0.0
+    for rf, ff in zip(real_fmaps, fake_fmaps):
+        for r, f in zip(rf, ff):
+            loss += jnp.mean(jnp.abs(r - f))
+    return loss
