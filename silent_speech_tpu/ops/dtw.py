@@ -145,7 +145,8 @@ def dtw_align_batch(costs: jnp.ndarray, n1: jnp.ndarray, n2: jnp.ndarray
     """Batched DTW; dispatches to the fused Pallas kernel on TPU when the
     per-utterance buffers fit VMEM, else the lax.scan implementation."""
     _, t1, t2 = costs.shape
-    if _on_tpu() and 2 * t1 * t2 * 4 <= _PALLAS_VMEM_BUDGET:
+    if _on_tpu() and t2 >= 256 and t2 % 128 == 0 \
+            and 2 * t1 * t2 * 4 <= _PALLAS_VMEM_BUDGET:
         from .pallas.dtw_kernel import pallas_dtw_align_batch
 
         return pallas_dtw_align_batch(costs, n1, n2)

@@ -1,21 +1,29 @@
 """Pallas TPU kernel for monotonic DTW (DP + backtrace in one kernel).
 
-The ``lax.scan`` DTW in :mod:`..dtw` pays per-step dispatch overhead on
-its T1+T2 anti-diagonal steps plus another T1+T2 scalar-gather steps for the
+The ``lax.scan`` DTW in :mod:`..dtw` pays per-step dispatch overhead on its
+T1+T2 anti-diagonal steps plus another T1+T2 scalar-gather steps for the
 backtrace (~25-30 ms per training batch). This kernel runs the whole thing
-on-core with VMEM-resident state:
+on-core:
 
+- **Utterance batching**: the grid tiles the batch into groups of 8
+  utterances; every DP row op runs on an (8, T2) vreg-aligned tile — full
+  sublane utilization instead of 1/8 on per-utterance (1, T2) rows.
 - **DP** row-by-row using the (min, +) semiring closed form: with
-  ``b_j = min(dtw[i−1, j], dtw[i−1, j−1])`` and ``S = cumsum(costs[i])``,
-  row ``i`` is ``dtw[i, j] = S_j + cummin_j(b_j − S_{j−1})`` — the in-row
-  left-to-right dependency becomes a log-depth prefix min, so each row is
-  ~30 VPU ops instead of a sequential column loop.
-- **Backtrace** as an in-kernel scalar loop over the VMEM DP table with the
-  reference's first-minimal tie order (up, left, diag — ``align.py:26``).
+  ``b_j = min(dtw[i−1, j], dtw[i−1, j−1])`` and ``S = cumsum(costs[i])``
+  (precomputed on the XLA side, one pass over HBM), row ``i`` is
+  ``dtw[i, j] = S_j + cummin_j(b_j − S_{j−1})`` — the in-row left-to-right
+  dependency becomes a log-depth prefix min.
+- Rows stream in as Pallas-pipelined (8, CH, T2) blocks (automatic double
+  buffering); only the previous DP row and an int8 per-cell **argmin choice
+  table** stay resident (the float DP table is never materialized).
+- **Backtrace** follows choice pointers in-kernel (one 256-lane aligned
+  window load + masked reduce per step; Mosaic has no dynamic lane-indexed
+  scalar loads). Choice codes use the reference's first-minimal order
+  (0=up, 1=left, 2=diag — ``align.py:26``).
 
-Grid = one program per utterance; a (1, T1, T2) cost block plus the (T1, T2)
-DP scratch must fit VMEM (≈8 MB at T=1024) — callers fall back to the scan
-implementation for larger buckets (see ``dtw.dtw_align_batch_auto``).
+VMEM budget at T=1024: choices (T1, 8, T2) int8 = 8 MB + two pipelined
+2 MB S blocks + small row state ≈ 12.5 MB; the dispatcher falls back to the
+scan implementation for bigger buckets.
 
 Numerics: the cumsum/cummin form accumulates row sums in a different order
 than the cell-by-cell reference DP; float32 rounding can differ in the last
@@ -34,21 +42,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BIG = 1e30
+K_TILE = 8
+ROW_CHUNK = 64
 
 
 def _shift_right(x: jnp.ndarray, d: int, fill: float) -> jnp.ndarray:
-    """Shift a (1, T) vector right by d, filling the head."""
-    rolled = pltpu.roll(x, d, axis=1)
-    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    """Shift right by d along the lane (last) axis, filling the head."""
+    rolled = pltpu.roll(x, d, axis=x.ndim - 1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
     return jnp.where(idx < d, fill, rolled)
-
-
-def _cumsum(x: jnp.ndarray, t: int) -> jnp.ndarray:
-    d = 1
-    while d < t:
-        x = x + _shift_right(x, d, 0.0)
-        d *= 2
-    return x
 
 
 def _cummin(x: jnp.ndarray, t: int) -> jnp.ndarray:
@@ -59,69 +61,97 @@ def _cummin(x: jnp.ndarray, t: int) -> jnp.ndarray:
     return x
 
 
-def _dtw_kernel(n1_ref, n2_ref, costs_ref, align_ref, cost_out_ref,
-                dtw_ref, *, t1: int, t2: int):
-    k = pl.program_id(0)
-    n1 = n1_ref[k]
-    n2 = n2_ref[k]
+def _dtw_kernel(n1_ref, n2_ref, s_ref, align_ref, cost_out_ref,
+                choices_ref, prev_ref, corner_ref, *,
+                t1: int, t2: int, n_chunks: int):
+    kt = pl.program_id(0)
+    c = pl.program_id(1)
+    ch = s_ref.shape[1]
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, t2), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (K_TILE, t2), 1)
+    n1v = jnp.stack([n1_ref[kt * K_TILE + u] for u in range(K_TILE)])
+    n2v = jnp.stack([n2_ref[kt * K_TILE + u] for u in range(K_TILE)])
 
-    # row 0: dtw[0,0] = 0 (cost ignored, align.py:7-9), rest BIG
-    dtw_ref[0:1, :] = jnp.where(col == 0, 0.0, BIG)
+    # ---- DP over this chunk's rows -------------------------------------
+    def row_body(r, _):
+        i = c * ch + r
+        s_row = s_ref[:, r, :]                       # (8, T2) cumsum row
+        prev = prev_ref[:, :]
 
-    def row_body(i, _):
-        prev = dtw_ref[pl.ds(i - 1, 1), :]                    # (1, T2)
-        prev_shift = _shift_right(prev, 1, BIG)               # dtw[i-1, j-1]
-        b = jnp.minimum(prev, prev_shift)
-        b = jnp.where(col == 0, BIG, b)  # column 0 is a hard boundary
-        c = costs_ref[0, pl.ds(i, 1), :]                      # (1, T2)
-        s = _cumsum(c, t2)
-        s_excl = _shift_right(s, 1, 0.0)
-        m = _cummin(b - s_excl, t2)
-        dtw_ref[pl.ds(i, 1), :] = s + m
+        @pl.when(i == 0)
+        def _():
+            x0 = jnp.where(col == 0, 0.0, BIG)
+            prev_ref[:, :] = x0
+            choices_ref[0, :, :] = jnp.zeros((K_TILE, t2), jnp.int8)
+            corner_ref[:, :] = jnp.where(
+                (col == n2v[:, None] - 1) & (n1v[:, None] == 1), x0, 0.0)
+
+        @pl.when(i > 0)
+        def _():
+            up = prev                                 # dtw[i-1, j]
+            dg = _shift_right(prev, 1, BIG)           # dtw[i-1, j-1]
+            b = jnp.minimum(up, dg)
+            b = jnp.where(col == 0, BIG, b)           # column-0 boundary
+            s_excl = _shift_right(s_row, 1, 0.0)
+            m = _cummin(b - s_excl, t2)
+            x = s_row + m                             # dtw row i
+            x = jnp.where(col == 0, BIG, x)
+
+            left = _shift_right(x, 1, BIG)            # dtw[i, j-1]
+            pick_up = (up <= left) & (up <= dg)
+            pick_left = jnp.logical_and(~pick_up, left <= dg)
+            choice = jnp.where(pick_up, 0,
+                               jnp.where(pick_left, 1, 2)).astype(jnp.int8)
+            choices_ref[pl.ds(i, 1), :, :] = choice[None]
+            prev_ref[:, :] = x
+            corner_ref[:, :] = corner_ref[:, :] + jnp.where(
+                (col == n2v[:, None] - 1) & (i == n1v[:, None] - 1), x, 0.0)
+
         return 0
 
-    jax.lax.fori_loop(1, t1, row_body, 0)
+    # only rows below the tile's max valid length are needed
+    max_n1 = jnp.max(n1v)
+    rows_here = jnp.clip(max_n1 - c * ch, 0, ch)
+    jax.lax.fori_loop(0, rows_here, row_body, 0)
 
-    def _pick(row: jnp.ndarray, idx) -> jnp.ndarray:
-        """row (1, T2) → scalar row[idx] via a masked reduce (Mosaic has no
-        dynamic lane-indexed scalar loads)."""
-        return jnp.sum(jnp.where(col == idx, row, 0.0))
+    # ---- backtrace + outputs on the last chunk --------------------------
+    @pl.when(c == n_chunks - 1)
+    def _():
+        corner = jnp.sum(corner_ref[:, :], axis=1)   # (8,)
+        wsize = 256 if t2 >= 256 else t2
+        win = jax.lax.broadcasted_iota(jnp.int32, (1, wsize), 1)
+        row_pos = jax.lax.broadcasted_iota(jnp.int32, (1, t1), 1)
 
-    corner_row = dtw_ref[pl.ds(n1 - 1, 1), :]
-    cost_out_ref[k] = jnp.where(
-        n1 + n2 > 2, _pick(corner_row, n2 - 1), 0.0)
+        for u in range(K_TILE):
+            n1 = n1_ref[kt * K_TILE + u]
+            n2 = n2_ref[kt * K_TILE + u]
+            cost_out_ref[kt * K_TILE + u] = corner[u]
 
-    # ---- backtrace -----------------------------------------------------
-    # alignment kept as a carried vector (dynamic lane stores are also
-    # unsupported); one masked update per step
-    row_pos = jax.lax.broadcasted_iota(jnp.int32, (1, t1), 1)
+            def bt_body(_, carry):
+                i, j, align_vec = carry
+                active = (i > 0) & (j > 0)
+                align_vec = jnp.where((row_pos == i) & active, j,
+                                      align_vec)
+                if wsize == t2:
+                    jbase = 0
+                    window = choices_ref[pl.ds(i, 1), u, :]
+                else:
+                    jbase = jnp.minimum((j // 128) * 128, t2 - wsize)
+                    jbase = pl.multiple_of(jbase, 128)
+                    window = choices_ref[pl.ds(i, 1), u,
+                                         pl.ds(jbase, wsize)]
+                ci = jnp.sum(jnp.where(win == j - jbase,
+                                       window.astype(jnp.int32), 0))
+                ni = jnp.where(ci == 1, i, i - 1)
+                nj = jnp.where(ci == 0, j, j - 1)
+                i2 = jnp.where(active, ni, i)
+                j2 = jnp.where(active, nj, j)
+                return (i2, j2, align_vec)
 
-    def bt_body(_, carry):
-        i, j, align_vec = carry
-        active = (i > 0) & (j > 0)
-        align_vec = jnp.where((row_pos == i) & active, j, align_vec)
-
-        iq = jnp.maximum(i - 1, 0)
-        jq = jnp.maximum(j - 1, 0)
-        row_im = dtw_ref[pl.ds(iq, 1), :]
-        row_i = dtw_ref[pl.ds(i, 1), :]
-        up = _pick(row_im, j)
-        left = _pick(row_i, jq)
-        diag = _pick(row_im, jq)
-        pick_up = (up <= left) & (up <= diag)
-        pick_left = jnp.logical_and(~pick_up, left <= diag)
-        ni = jnp.where(pick_left, i, i - 1)
-        nj = jnp.where(pick_up, j, j - 1)
-        i2 = jnp.where(active, ni, i)
-        j2 = jnp.where(active, nj, j)
-        return (i2, j2, align_vec)
-
-    init_align = jnp.zeros((1, t1), jnp.int32)
-    _, _, align_vec = jax.lax.fori_loop(
-        0, t1 + t2, bt_body, (n1 - 1, n2 - 1, init_align))
-    align_ref[0, 0:1, :] = align_vec
+            init_align = jnp.zeros((1, t1), jnp.int32)
+            _, _, align_vec = jax.lax.fori_loop(
+                0, n1 + n2, bt_body, (n1 - 1, n2 - 1, init_align))
+            align_ref[u, 0:1, :] = align_vec
 
 
 def pallas_dtw_align_batch(costs: jnp.ndarray, n1: jnp.ndarray,
@@ -130,33 +160,44 @@ def pallas_dtw_align_batch(costs: jnp.ndarray, n1: jnp.ndarray,
     """(K, T1, T2) costs + (K,) valid lengths → ((K, T1) alignment, (K,)
     path costs). Semantics match :func:`..dtw.dtw_align`."""
     k, t1, t2 = costs.shape
-    kernel = functools.partial(_dtw_kernel, t1=t1, t2=t2)
+    k_pad = -(-k // K_TILE) * K_TILE
+    ch = ROW_CHUNK if t1 % ROW_CHUNK == 0 else t1
+    n_chunks = t1 // ch
 
+    s = jnp.cumsum(costs.astype(jnp.float32), axis=2)
+    if k_pad != k:
+        s = jnp.pad(s, ((0, k_pad - k), (0, 0), (0, 0)))
+        n1 = jnp.pad(n1.astype(jnp.int32), (0, k_pad - k),
+                     constant_values=1)
+        n2 = jnp.pad(n2.astype(jnp.int32), (0, k_pad - k),
+                     constant_values=1)
+
+    kernel = functools.partial(_dtw_kernel, t1=t1, t2=t2,
+                               n_chunks=n_chunks)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(k,),
+        grid=(k_pad // K_TILE, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, t1, t2), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((K_TILE, ch, t2),
+                         lambda kt, c, *_: (kt, c, 0)),
         ],
         out_specs=[
-            # (K, 1, T1) keeps the trailing two block dims == array dims
-            # (Mosaic tiling constraint)
-            pl.BlockSpec((1, 1, t1), lambda i, *_: (i, 0, 0)),
-            # full-array SMEM block; each program writes its own slot
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((K_TILE, 1, t1), lambda kt, c, *_: (kt, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full (K,) cost vector
         ],
         scratch_shapes=[
-            pltpu.VMEM((t1, t2), jnp.float32),
+            pltpu.VMEM((t1, K_TILE, t2), jnp.int8),   # choice table
+            pltpu.VMEM((K_TILE, t2), jnp.float32),    # previous DP row
+            pltpu.VMEM((K_TILE, t2), jnp.float32),    # corner accumulator
         ],
     )
     align, path_cost = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((k, 1, t1), jnp.int32),
-            jax.ShapeDtypeStruct((k,), jnp.float32),
+            jax.ShapeDtypeStruct((k_pad, 1, t1), jnp.int32),
+            jax.ShapeDtypeStruct((k_pad,), jnp.float32),
         ],
         interpret=interpret,
-    )(n1.astype(jnp.int32), n2.astype(jnp.int32),
-      costs.astype(jnp.float32))
-    return align[:, 0, :], path_cost
+    )(n1.astype(jnp.int32), n2.astype(jnp.int32), s)
+    return align[:k, 0, :], path_cost[:k]
