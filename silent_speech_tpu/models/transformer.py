@@ -163,7 +163,10 @@ class RelativePositionalAttention(nn.Module):
                                                                 None, :]
             logits = jnp.where(same, logits, jnp.asarray(NEG_INF, cdt))
 
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(cdt)
+        # softmax in the compute dtype: jax.nn.softmax subtracts the row max
+        # first, so bf16 is safe here and saves two f32 materializations of
+        # the (B, H, T, T) tensor
+        probs = jax.nn.softmax(logits, axis=-1)
         probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
         o = jnp.einsum("bhqk,bhka->bhqa", probs, v)
         out = jnp.einsum("bhta,haf->btf", o, w_o.astype(cdt))
@@ -191,7 +194,7 @@ class TransformerEncoderLayer(nn.Module):
         )(x, segment_ids=segment_ids, deterministic=deterministic)
         x = x + nn.Dropout(self.dropout)(attn_out,
                                          deterministic=deterministic)
-        x = nn.LayerNorm(name="norm1")(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
 
         h = nn.Dense(self.dim_feedforward, dtype=self.dtype,
                      name="linear1")(x)
@@ -199,5 +202,5 @@ class TransformerEncoderLayer(nn.Module):
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
         x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        x = nn.LayerNorm(name="norm2")(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         return x
