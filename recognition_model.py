@@ -36,6 +36,8 @@ def evaluate_saved():
 
 
 def main():
+    from absl import flags
+
     from silent_speech_tpu.config import config_from_flags
     from silent_speech_tpu.data.dataset import EMGDataset
     from silent_speech_tpu.utils.run_logging import (
@@ -43,6 +45,11 @@ def main():
     )
 
     cfg = config_from_flags()
+    if cfg.recognition.debug:
+        # reference --debug forces CPU (recognition_model.py:120,144)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     setup_run_logging(cfg.recognition.output_directory)
     log_run_provenance()
 
@@ -53,7 +60,7 @@ def main():
 
     trainer = _trainer(cfg)
     log_device_info(trainer.mesh)
-    trainer.fit(trainset, devset, seed=0)
+    trainer.fit(trainset, devset, seed=0, resume=flags.FLAGS.resume)
 
 
 if __name__ == '__main__':

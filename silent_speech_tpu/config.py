@@ -219,6 +219,8 @@ def define_flags() -> None:
     _i("chunk_bucket", 8, "pad packed batches to a multiple of this many chunks")
     _s("compute_dtype", "bfloat16", "encoder compute dtype "
                                     "(bfloat16|float32)")
+    _b("resume", False, "resume training from the output_directory "
+                        "checkpoint (full state incl. schedules)")
 
     _FLAGS_REGISTERED = True
 

@@ -327,3 +327,33 @@ def make_normalizers_file(cfg: DataConfig, path: Optional[str] = None,
     dataset = EMGDataset(cfg, no_normalizers=True)
     mfcc_norm, emg_norm = make_normalizers(dataset, n_samples)
     save_normalizers(path or cfg.normalizers_file, mfcc_norm, emg_norm)
+
+
+if __name__ == "__main__":
+    # input-pipeline smoke test (reference ``read_emg.py:311-315``):
+    #   python -m silent_speech_tpu.data.dataset [flags] [--make_normalizers]
+    import sys
+    import time
+
+    from absl import flags
+
+    from ..config import config_from_flags, define_flags
+
+    define_flags()
+    if "make_normalizers" not in flags.FLAGS:
+        flags.DEFINE_boolean("make_normalizers", False,
+                             "build normalizers.pkl and exit")
+        flags.DEFINE_integer("smoke_items", 1000, "items to load")
+    flags.FLAGS(sys.argv)
+    _cfg = config_from_flags().data
+    if flags.FLAGS.make_normalizers:
+        make_normalizers_file(_cfg)
+        print(f"wrote {_cfg.normalizers_file}")
+    else:
+        d = EMGDataset(_cfg)
+        t0 = time.time()
+        n = min(flags.FLAGS.smoke_items, len(d))
+        for i in range(n):
+            d[i]
+        print(f"loaded {n} examples in {time.time() - t0:.1f}s "
+              f"({len(d)} total)")

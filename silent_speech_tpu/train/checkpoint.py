@@ -36,25 +36,43 @@ def _state_dict(state) -> dict:
     }
 
 
-def save_checkpoint(directory: str, state, name: str = "checkpoint") -> str:
+def save_checkpoint(directory: str, state, name: str = "checkpoint",
+                    extra: Optional[dict] = None) -> str:
     """Save the train state under ``directory/name`` (overwrites, like the
-    reference's fixed ``model.pt``)."""
+    reference's fixed ``model.pt``). Host-side schedule state (``extra``, a
+    JSON-able dict) is written alongside so training resumes exactly —
+    something the reference cannot do (SURVEY.md §5.4)."""
+    import json
+
     path = os.path.abspath(os.path.join(directory, name))
     ckpt = _checkpointer()
     ckpt.save(path, jax.device_get(_state_dict(state)), force=True)
+    if extra is not None:
+        with open(path + ".extra.json", "w") as f:
+            json.dump(extra, f)
     return path
 
 
-def restore_checkpoint(directory: str, state, name: str = "checkpoint"):
+def restore_checkpoint(directory: str, state, name: str = "checkpoint",
+                       with_extra: bool = False):
     """Restore into the structure of ``state`` (a template with matching
-    pytree)."""
+    pytree); ``with_extra`` also returns the saved host-side dict."""
+    import json
+
     path = os.path.abspath(os.path.join(directory, name))
     ckpt = _checkpointer()
     restored = ckpt.restore(path, item=jax.device_get(_state_dict(state)))
-    return state.replace(
+    new_state = state.replace(
         step=restored["step"], params=restored["params"],
         batch_stats=restored["batch_stats"],
         opt_state=restored["opt_state"])
+    if with_extra:
+        extra = {}
+        if os.path.exists(path + ".extra.json"):
+            with open(path + ".extra.json") as f:
+                extra = json.load(f)
+        return new_state, extra
+    return new_state
 
 
 def checkpoint_exists(directory: str, name: str = "checkpoint") -> bool:

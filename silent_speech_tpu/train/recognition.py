@@ -143,7 +143,8 @@ class RecognitionTrainer:
 
     # ---------------- train / eval ------------------------------------
     def fit(self, trainset: EMGDataset, devset: EMGDataset,
-            epochs: Optional[int] = None, seed: int = 0) -> TrainState:
+            epochs: Optional[int] = None, seed: int = 0,
+            resume: bool = False) -> TrainState:
         cfg = self.cfg.recognition
         epochs = epochs if epochs is not None else cfg.epochs
         os.makedirs(cfg.output_directory, exist_ok=True)
@@ -153,8 +154,24 @@ class RecognitionTrainer:
         rng = jax.random.PRNGKey(seed + 1)
         sampler = SizeAwareSampler(trainset, cfg.max_batch_len, seed=seed)
         global_step = 0
+        start_epoch = 0
 
-        for epoch in range(epochs):
+        if self.state is None:
+            self.init_state(self._pack([trainset[0]]), seed=seed)
+        if resume:
+            from .checkpoint import checkpoint_exists, restore_checkpoint
+
+            if checkpoint_exists(cfg.output_directory):
+                self.state, extra = restore_checkpoint(
+                    cfg.output_directory, self.state, with_extra=True)
+                global_step = int(extra.get("global_step", 0))
+                start_epoch = int(extra.get("epoch", 0))
+                multistep.epoch = start_epoch
+                multistep.scale = float(extra.get("lr_scale", 1.0))
+                logging.info("resumed from epoch %d (step %d)",
+                             start_epoch, global_step)
+
+        for epoch in range(start_epoch, epochs):
             losses = []
             t0 = time.time()
             for idx_batch in sampler:
@@ -171,6 +188,10 @@ class RecognitionTrainer:
                 global_step += 1
             train_loss = float(np.mean([float(l) for l in losses])) \
                 if losses else float("nan")
+            if losses and not np.isfinite(train_loss):
+                logging.error("non-finite training loss at epoch %d — "
+                              "stopping", epoch + 1)
+                raise FloatingPointError("non-finite training loss")
             val_wer = self.evaluate_wer(devset)
             multistep.step()
             logging.info(
@@ -178,7 +199,10 @@ class RecognitionTrainer:
                 f"{train_loss:.4f} validation WER: {val_wer * 100:.2f}")
             logging.info("epoch %d took %.1fs", epoch + 1,
                          time.time() - t0)
-            save_checkpoint(cfg.output_directory, self.state)
+            save_checkpoint(
+                cfg.output_directory, self.state,
+                extra={"epoch": epoch + 1, "global_step": global_step,
+                       "lr_scale": multistep.scale})
             try:
                 export_reference_checkpoint(
                     self.state,

@@ -181,7 +181,8 @@ class TransductionTrainer:
     # ---------------- train / eval ------------------------------------
     def fit(self, trainset: EMGDataset, devset: EMGDataset,
             epochs: Optional[int] = None, vocoder=None,
-            save_sound_outputs: bool = False, seed: int = 0) -> TrainState:
+            save_sound_outputs: bool = False, seed: int = 0,
+            resume: bool = False) -> TrainState:
         cfg = self.cfg.transduction
         epochs = epochs if epochs is not None else cfg.epochs
 
@@ -191,11 +192,29 @@ class TransductionTrainer:
         plateau = ReduceLROnPlateau(patience=cfg.learning_rate_patience)
         rng = jax.random.PRNGKey(seed + 1)
         global_step = 0
+        start_epoch = 0
         os.makedirs(cfg.output_directory, exist_ok=True)
+
+        if self.state is None:
+            self.init_state(self._pack([trainset[0]]), seed=seed)
+        if resume:
+            from .checkpoint import checkpoint_exists, restore_checkpoint
+
+            if checkpoint_exists(cfg.output_directory):
+                self.state, extra = restore_checkpoint(
+                    cfg.output_directory, self.state, with_extra=True)
+                global_step = int(extra.get("global_step",
+                                            int(self.state.step)))
+                start_epoch = int(extra.get("epoch", 0))
+                for k, v in extra.get("plateau", {}).items():
+                    setattr(plateau, k, v)
+                logging.info("resumed from epoch %d (step %d)",
+                             start_epoch, global_step)
+
         # one sampler across epochs → fresh shuffle each epoch
         sampler = SizeAwareSampler(trainset, cfg.max_batch_len, seed=seed)
 
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             losses = []
             t0 = time.time()
             n_steps = 0
@@ -214,6 +233,11 @@ class TransductionTrainer:
             train_loss = float(np.mean([float(l) for l in losses])) \
                 if losses else float("nan")
             dt = time.time() - t0
+            if losses and not np.isfinite(train_loss):
+                logging.error("non-finite training loss at epoch %d — "
+                              "stopping (checkpoint from the previous "
+                              "epoch is intact)", epoch + 1)
+                raise FloatingPointError("non-finite training loss")
 
             val_loss, phoneme_acc, _ = self.evaluate(devset)
             plateau.step(val_loss)
@@ -225,7 +249,12 @@ class TransductionTrainer:
                          epoch + 1, n_steps, dt,
                          n_steps / dt if dt > 0 else 0.0)
 
-            save_checkpoint(cfg.output_directory, self.state)
+            save_checkpoint(
+                cfg.output_directory, self.state,
+                extra={"epoch": epoch + 1, "global_step": global_step,
+                       "plateau": {"best": plateau.best,
+                                   "num_bad_epochs": plateau.num_bad_epochs,
+                                   "scale": plateau.scale}})
             try:
                 export_reference_checkpoint(
                     self.state,

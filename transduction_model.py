@@ -40,8 +40,11 @@ def main():
 
         vocoder = Vocoder(cfg.vocoder.hifigan_checkpoint)
 
+    from absl import flags
+
     trainer.fit(trainset, devset, vocoder=vocoder,
-                save_sound_outputs=save_sound, seed=0)
+                save_sound_outputs=save_sound, seed=0,
+                resume=flags.FLAGS.resume)
 
     if save_sound:
         from silent_speech_tpu.eval.asr import evaluate
