@@ -50,6 +50,7 @@ class ArpaLM:
                                     Tuple[float, float]]] = {}
         self.order = 0
         self.unk_floor = unk_floor
+        self.path = path  # lets the native decoder load the same model
         self._load(path)
 
     def _load(self, path: str) -> None:
@@ -215,15 +216,19 @@ def beam_ctc_decode(log_probs: np.ndarray, charset: str, blank_id: int,
 
 
 def _try_native_beam(lp, charset, blank_id, beam_width, lm, alpha, beta):
-    if lm is not None:
-        return None  # LM fusion currently handled by the Python path
     try:
         from ..utils import native
 
         lib = native.get_lib()
-        if lib is None or not hasattr(lib, "ssp_ctc_beam_decode"):
+        if lib is None:
             return None
-        return native.ctc_beam_decode(lp, charset, blank_id, beam_width,
-                                      alpha, beta)
+        if lm is None:
+            return native.ctc_beam_decode(lp, charset, blank_id,
+                                          beam_width, alpha, beta)
+        path = getattr(lm, "path", None)
+        if path is None:
+            return None
+        return native.ctc_beam_decode_lm(lp, charset, blank_id, path,
+                                         beam_width, alpha, beta)
     except Exception:
         return None

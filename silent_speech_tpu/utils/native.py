@@ -57,6 +57,21 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_double),
             ]
+            lib.ssp_lm_load.restype = ctypes.c_int64
+            lib.ssp_lm_load.argtypes = [ctypes.c_char_p]
+            lib.ssp_lm_free.restype = None
+            lib.ssp_lm_free.argtypes = [ctypes.c_int64]
+            lib.ssp_lm_score_word.restype = ctypes.c_double
+            lib.ssp_lm_score_word.argtypes = [
+                ctypes.c_int64, ctypes.c_char_p, ctypes.c_char_p]
+            lib.ssp_ctc_beam_decode_lm.restype = ctypes.c_int32
+            lib.ssp_ctc_beam_decode_lm.argtypes = [
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_double, ctypes.c_double,
+                ctypes.c_double, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ]
             _LIB = lib
         except OSError:
             _LIB = None
@@ -123,6 +138,47 @@ def ctc_beam_decode(log_probs: np.ndarray, charset: str, blank_id: int,
         lp.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         t, k, blank_id, beam_width, prune_logp, beta, space_id,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), t)
+    return out[:n].tolist()
+
+
+_LM_HANDLES = {}
+
+
+def lm_load(path: str) -> int:
+    """Load an ARPA LM into the native library (cached per path)."""
+    lib = get_lib()
+    assert lib is not None
+    if path not in _LM_HANDLES:
+        handle = lib.ssp_lm_load(path.encode())
+        if handle == 0:
+            raise ValueError(f"native ARPA load failed for {path}")
+        _LM_HANDLES[path] = handle
+    return _LM_HANDLES[path]
+
+
+def lm_score_word(path: str, context, word: str) -> float:
+    lib = get_lib()
+    handle = lm_load(path)
+    ctx = " ".join(context)
+    return lib.ssp_lm_score_word(handle, ctx.encode(), word.encode())
+
+
+def ctc_beam_decode_lm(log_probs: np.ndarray, charset: str, blank_id: int,
+                       lm_path: str, beam_width: int = 100,
+                       alpha: float = 1.5, beta: float = 1.85,
+                       prune_logp: float = -18.0):
+    """Native LM-fused prefix beam search (ARPA word n-gram)."""
+    lib = get_lib()
+    assert lib is not None
+    handle = lm_load(lm_path)
+    lp = np.ascontiguousarray(log_probs, dtype=np.float64)
+    t, k = lp.shape
+    out = np.zeros(t, dtype=np.int32)
+    n = lib.ssp_ctc_beam_decode_lm(
+        handle, lp.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        t, k, blank_id, beam_width, prune_logp, alpha, beta,
+        charset.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        t)
     return out[:n].tolist()
 
 

@@ -79,3 +79,92 @@ def test_native_dtw_matches_oracle(lib):
     expected = align_from_distances_numpy(costs)
     assert align == expected
     assert np.isfinite(cost)
+
+
+ARPA = """\\data\\
+ngram 1=5
+ngram 2=3
+
+\\1-grams:
+-1.0\t<s>\t-0.5
+-1.0\t</s>
+-0.8\tthe\t-0.4
+-1.2\tcat\t-0.3
+-1.5\tdog\t-0.2
+
+\\2-grams:
+-0.3\tthe cat
+-0.9\tthe dog
+-0.6\t<s> the
+
+\\end\\
+"""
+
+
+@pytest.fixture()
+def arpa_path(tmp_path):
+    p = tmp_path / "lm.arpa"
+    p.write_text(ARPA)
+    return str(p)
+
+
+def test_native_lm_scores_match_python(lib, arpa_path):
+    from silent_speech_tpu.eval.decode import ArpaLM
+
+    py = ArpaLM(arpa_path)
+    cases = [
+        (["the"], "cat"), (["<s>"], "the"), (["cat"], "dog"),
+        ([], "zebra"), (["dog", "the"], "cat"),
+    ]
+    for ctx, word in cases:
+        got = native.lm_score_word(arpa_path, ctx, word)
+        expected = py.score_word(ctx, word)
+        assert got == pytest.approx(expected, rel=1e-6), (ctx, word)
+
+
+def test_native_lm_beam_matches_python(lib, arpa_path):
+    from silent_speech_tpu.eval import decode as dec
+    from silent_speech_tpu.eval.decode import ArpaLM, beam_ctc_decode
+
+    chars = "abcdefghijklmnopqrstuvwxyz0123456789 "
+    blank = len(chars)
+    lm = ArpaLM(arpa_path)
+    rng = np.random.default_rng(5)
+    for trial in range(4):
+        logits = rng.normal(size=(24, blank + 1)) * 2.0
+        lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+        native_ids = native.ctc_beam_decode_lm(
+            lp, chars, blank, arpa_path, beam_width=12, alpha=1.5,
+            beta=1.85)
+        orig = dec._try_native_beam
+        dec._try_native_beam = lambda *a, **k: None
+        try:
+            py_ids = beam_ctc_decode(lp, chars, blank, beam_width=12,
+                                     lm=lm, alpha=1.5, beta=1.85)
+        finally:
+            dec._try_native_beam = orig
+        assert native_ids == py_ids, f"trial {trial}"
+
+
+def test_native_lm_steers_decode(lib, arpa_path):
+    """Same crafted case as the Python test: LM flips 'caq' to 'cat'."""
+    import math
+
+    from silent_speech_tpu.eval.decode import beam_ctc_decode, ArpaLM
+
+    chars = "abcdefghijklmnopqrstuvwxyz0123456789 "
+    blank = len(chars)
+    ids = [chars.index(c) for c in "the cat"]
+    t = len(ids)
+    logits = np.full((t, blank + 1), -20.0)
+    for i, s in enumerate(ids):
+        logits[i, s] = 8.0
+    lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    lp[-1, :] = -20.0
+    lp[-1, chars.index("t")] = math.log(0.49)
+    lp[-1, chars.index("q")] = math.log(0.51)
+    lm = ArpaLM(arpa_path)
+    # goes through the native path (lm.path set, lib loaded)
+    out = beam_ctc_decode(lp, chars, blank, beam_width=16, lm=lm,
+                          alpha=1.5, beta=1.85)
+    assert "".join(chars[i] for i in out) == "the cat"
