@@ -17,11 +17,13 @@ def _trainer(cfg):
 
 
 def evaluate_saved():
+    import os
+
     from silent_speech_tpu.config import config_from_flags
     from silent_speech_tpu.data.dataset import EMGDataset
-    from silent_speech_tpu.data.packing import pack_batch
     from silent_speech_tpu.train.checkpoint import (
-        load_reference_checkpoint, load_params_into_state,
+        checkpoint_exists, load_reference_checkpoint,
+        load_params_into_state, restore_checkpoint,
     )
 
     cfg = config_from_flags()
@@ -29,9 +31,14 @@ def evaluate_saved():
     trainer = _trainer(cfg)
     batch = trainer._pack([testset[0]])
     trainer.init_state(batch, seed=0)
-    params, stats = load_reference_checkpoint(
-        cfg.recognition.evaluate_saved, num_layers=cfg.model.num_layers)
-    trainer.state = load_params_into_state(trainer.state, params, stats)
+    path = cfg.recognition.evaluate_saved
+    if os.path.isdir(path) and checkpoint_exists(path):
+        trainer.state = restore_checkpoint(path, trainer.state)
+    else:
+        params, stats = load_reference_checkpoint(
+            path, num_layers=cfg.model.num_layers)
+        trainer.state = load_params_into_state(trainer.state, params,
+                                               stats)
     print('WER:', trainer.evaluate_wer(testset))
 
 
