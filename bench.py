@@ -24,9 +24,7 @@ import numpy as np
 REFERENCE_STEPS_PER_SEC = 3.0
 
 
-def build_batch(rng, target_frames=22000, silent_fraction=0.3):
-    from silent_speech_tpu.data.packing import pack_batch
-
+def build_examples(rng, target_frames=22000, silent_fraction=0.3):
     examples = []
     total = 0
     i = 0
@@ -55,39 +53,53 @@ def build_batch(rng, target_frames=22000, silent_fraction=0.3):
         examples.append(ex)
         total += t
         i += 1
-    return pack_batch(examples, seq_len=200, chunk_bucket=8, utt_bucket=8)
+    return examples
 
 
 def main():
     import jax
 
     from silent_speech_tpu.config import Config
-    from silent_speech_tpu.parallel.mesh import make_mesh, shard_batch
+    from silent_speech_tpu.parallel.mesh import make_mesh
     from silent_speech_tpu.train.transduction import TransductionTrainer
+
+    from silent_speech_tpu.data.device_cache import DeviceCorpus
 
     cfg = Config()  # full-size reference architecture
     mesh = make_mesh(1, 1, devices=jax.devices()[:1])
     trainer = TransductionTrainer(cfg, mesh=mesh)
 
-    rng = np.random.default_rng(0)
-    batch = build_batch(rng)
-    trainer.init_state(batch, seed=0)
-    db = shard_batch(batch.device_batch(), mesh)
-    step_rng = jax.random.PRNGKey(0)
-    lr = np.float32(1e-3)
+    # production path: the featurized corpus lives in HBM; each step ships
+    # only a (U,) utterance-id vector and the batch assembles on device
+    example_sets = [build_examples(np.random.default_rng(i))
+                    for i in range(4)]
+    all_examples = [e for s_ in example_sets for e in s_]
+    corpus = DeviceCorpus.build(all_examples)
+    id_sets = []
+    pos = 0
+    for s_ in example_sets:
+        id_sets.append(list(range(pos, pos + len(s_))))
+        pos += len(s_)
 
-    # warmup / compile; float() forces a real host sync (block_until_ready
-    # is not a reliable barrier through the axon relay)
-    for _ in range(4):
-        trainer.state, metrics = trainer._train_step(
-            trainer.state, db, step_rng, lr, batch.num_silent)
+    trainer.init_state(trainer._pack(example_sets[0]), seed=0)
+    step_rng = jax.random.PRNGKey(0)
+
+    def one_step(i):
+        m = trainer.cache_step_ids(corpus, id_sets[i % 4], step_rng, 1e-3)
+        assert m is not None, "batch exceeded static caps"
+        return m
+
+    # warmup: compile + the remote-execution path needs ~a dozen
+    # invocations to reach steady state; float() forces a real host sync
+    # (block_until_ready is not a reliable barrier through the axon relay)
+    for i in range(16):
+        metrics = one_step(i)
     float(metrics["loss"])
 
     n_steps = 20
     t0 = time.time()
-    for _ in range(n_steps):
-        trainer.state, metrics = trainer._train_step(
-            trainer.state, db, step_rng, lr, batch.num_silent)
+    for i in range(n_steps):
+        metrics = one_step(i)
     float(metrics["loss"])
     dt = time.time() - t0
 

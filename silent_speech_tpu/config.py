@@ -59,6 +59,28 @@ class DataConfig:
     # a small set of static shapes instead of one shape per batch (TPU-first
     # addition; the reference recompiles nothing because torch is eager).
     chunk_bucket: int = 8
+    # Fixed-shape packing: pad every batch to capacity-derived caps so the
+    # whole training run compiles ONCE (vs ~40 s per distinct shape through
+    # a remote compiler). Batches exceeding a cap fall back to bucketing.
+    fixed_shapes: bool = True
+    utt_cap: int = 64     # max utterances per packed batch
+    t_cap: int = 1024     # max per-utterance frames (≈12 s at 86 fps)
+    # host→device transfer trimming: the encoder ignores the 112-dim
+    # feature tensor (architecture.py:61-75), so don't ship it by default;
+    # mel targets may transfer at reduced precision (loss computes in f32)
+    send_feature_input: bool = False
+    target_transfer_dtype: str = "float32"  # or "float16"
+    # batches per training "wave": W batches are stacked and uploaded in ONE
+    # host→device transfer while the device is idle, then W steps run with
+    # on-device slicing. Amortizes transfer latency (remote-device links
+    # serialize uploads against in-flight compute). 1 = per-step transfers.
+    # Only used when the HBM corpus cache is off.
+    wave_size: int = 8
+    # HBM-resident corpus cache: upload the featurized corpus once; each
+    # step ships only a (U,) utterance-id vector and the packed batch is
+    # assembled on device (data/device_cache.py). Requires fixed_shapes;
+    # currently single-device meshes only.
+    device_cache: bool = True
 
 
 @dataclass
@@ -221,6 +243,13 @@ def define_flags() -> None:
                                     "(bfloat16|float32)")
     _b("resume", False, "resume training from the output_directory "
                         "checkpoint (full state incl. schedules)")
+    _b("fixed_shapes", True, "pad every batch to capacity caps so training "
+                             "compiles once")
+    _i("max_batch_len", 0, "length-packed batch capacity in raw EMG "
+                           "samples (0 = task default: 256000 transduction"
+                           " / 128000 recognition)")
+    _i("t_cap", 1024, "fixed-shape cap on per-utterance frames")
+    _i("utt_cap", 64, "fixed-shape cap on utterances per batch")
 
     _FLAGS_REGISTERED = True
 
@@ -242,6 +271,9 @@ def config_from_flags() -> Config:
     cfg.data.text_align_directory = F.text_align_directory
     cfg.data.normalizers_file = F.normalizers_file
     cfg.data.chunk_bucket = F.chunk_bucket
+    cfg.data.fixed_shapes = F.fixed_shapes
+    cfg.data.t_cap = F.t_cap
+    cfg.data.utt_cap = F.utt_cap
 
     t = cfg.transduction
     t.batch_size = F.batch_size
@@ -254,6 +286,8 @@ def config_from_flags() -> Config:
     t.phoneme_loss_weight = F.phoneme_loss_weight
     t.l2 = F.l2
     t.output_directory = F.output_directory
+    if F.max_batch_len:
+        t.max_batch_len = F.max_batch_len
 
     # recognition defaults differ from the shared flag defaults
     # (reference: lr 3e-4, warmup 1000, l2 0 — recognition_model.py:23-27);
@@ -273,6 +307,8 @@ def config_from_flags() -> Config:
     r.output_directory = F.output_directory
     r.evaluate_saved = F.evaluate_saved
     r.debug = F.debug
+    if F.max_batch_len:
+        r.max_batch_len = F.max_batch_len
 
     cfg.vocoder.hifigan_checkpoint = F.hifigan_checkpoint
     cfg.mesh.model_parallel = F.model_parallel

@@ -137,15 +137,30 @@ class PackedBatch:
     def num_utterances(self) -> int:
         return self.utt_gather_idx.shape[0]
 
-    def device_batch(self) -> "DeviceBatch":
-        """Arrays-only pytree view for jit boundaries (texts excluded)."""
+    def device_batch(self, send_features: bool = True,
+                     target_dtype=None) -> "DeviceBatch":
+        """Arrays-only pytree view for jit boundaries (texts excluded).
+
+        ``send_features=False`` replaces the 112-dim feature tensor with a
+        (1, 1, F) placeholder — the encoder ignores ``x_feat`` entirely
+        (reference ``architecture.py:61-75``), and through a remote-device
+        link those ~10 MB/batch are pure upload cost. ``target_dtype``
+        optionally downcasts the mel targets for transfer (the loss casts
+        back to float32 on device).
+        """
+        emg = self.emg
+        if not send_features:
+            emg = np.zeros((1, 1, self.emg.shape[-1]), self.emg.dtype)
+        audio = self.audio_features
+        if audio is not None and target_dtype is not None:
+            audio = audio.astype(target_dtype)
         return DeviceBatch(
-            emg=self.emg, raw_emg=self.raw_emg,
+            emg=emg, raw_emg=self.raw_emg,
             session_ids=self.session_ids, segment_ids=self.segment_ids,
             utt_gather_idx=self.utt_gather_idx, utt_len=self.utt_len,
             target_len=self.target_len, phonemes=self.phonemes,
             silent=self.silent, text_int=self.text_int,
-            text_len=self.text_len, audio_features=self.audio_features)
+            text_len=self.text_len, audio_features=audio)
 
     def shape_key(self):
         """Static-shape signature; distinct keys trigger distinct jit traces."""
@@ -160,7 +175,10 @@ def pack_batch(examples: Sequence[dict], seq_len: int = 200,
                utt_bucket: int = 8, text_bucket: int = 64,
                with_audio: bool = True,
                sort_silent_first: bool = True,
-               silent_bucket: int = 4) -> PackedBatch:
+               silent_bucket: int = 4,
+               fixed_chunks: Optional[int] = None,
+               fixed_utts: Optional[int] = None,
+               fixed_t: Optional[int] = None) -> PackedBatch:
     """Build a :class:`PackedBatch` from dataset example dicts.
 
     Each example dict follows the reference ``EMGDataset.__getitem__`` schema
@@ -168,6 +186,13 @@ def pack_batch(examples: Sequence[dict], seq_len: int = 200,
     ``session_ids`` (T,), ``silent``, ``phonemes``, ``text_int``, ``text``,
     and for loss targets either ``audio_features`` or
     ``parallel_voiced_audio_features``.
+
+    ``fixed_chunks`` / ``fixed_utts`` / ``fixed_t`` pin the padded shapes
+    (the trainers derive them from the batch-capacity config) so EVERY
+    training batch compiles to the same signature — without this, shape
+    buckets multiply into dozens of multi-second jit traces. A batch that
+    exceeds a fixed cap falls back to its bucketed size (one extra trace,
+    logged once per shape by jit itself).
     """
     if sort_silent_first:
         examples = sorted(examples, key=lambda e: not bool(e["silent"]))
@@ -189,6 +214,14 @@ def pack_batch(examples: Sequence[dict], seq_len: int = 200,
     raw = combine_fixed_length(raw_list, seq_len * raw_factor, chunk_bucket)
     sess = combine_fixed_length(sess_list, seq_len, chunk_bucket)
     seg = combine_fixed_length(seg_list, seq_len, chunk_bucket)
+
+    if fixed_chunks is not None and emg.shape[0] < fixed_chunks:
+        def _pad_chunks(arr):
+            pad = np.zeros((fixed_chunks - arr.shape[0],) + arr.shape[1:],
+                           arr.dtype)
+            return np.concatenate([arr, pad], axis=0)
+
+        emg, raw, sess, seg = map(_pad_chunks, (emg, raw, sess, seg))
     n_rows = emg.shape[0] * seq_len
 
     # Loss targets: voiced features for silent utterances
@@ -210,7 +243,11 @@ def pack_batch(examples: Sequence[dict], seq_len: int = 200,
 
     u_real = len(examples)
     u = -(-u_real // utt_bucket) * utt_bucket
+    if fixed_utts is not None and u < fixed_utts:
+        u = fixed_utts
     t_max = bucket_length(max(max(lengths), int(target_len.max(initial=1))))
+    if fixed_t is not None and t_max < fixed_t:
+        t_max = fixed_t
 
     utt_gather_idx = np.zeros((u, t_max), dtype=np.int32)
     utt_len = np.zeros((u,), dtype=np.int32)
@@ -239,6 +276,8 @@ def pack_batch(examples: Sequence[dict], seq_len: int = 200,
 
     text_ints = [np.asarray(e["text_int"], dtype=np.int32) for e in examples]
     text_max = max(1, max((len(t) for t in text_ints), default=1))
+    if fixed_t is not None:  # fixed-shape mode: stabilize the text dim too
+        text_max = max(text_max, 2 * text_bucket)
     text_max = -(-text_max // text_bucket) * text_bucket
     text_int = np.full((u, text_max), -1, dtype=np.int32)
     text_len = np.zeros((u,), dtype=np.int32)

@@ -62,7 +62,6 @@ class EnsemblePredictor:
         import jax
         import jax.numpy as jnp
 
-        from ..parallel.mesh import shard_batch
         from ..phonemes import NUM_PHONES
         from ..train.losses import transduction_loss
 
@@ -89,11 +88,10 @@ class EnsemblePredictor:
         params_s, stats_s = self._stacked_variables()
         total_loss = correct = total = batches = 0
         confusion = np.zeros((NUM_PHONES, NUM_PHONES))
-        for start in range(0, len(dataset), batch_size):
-            examples = [dataset[i] for i in
-                        range(start, min(start + batch_size, len(dataset)))]
+        for group in base.eval_groups(dataset, batch_size):
+            examples = [dataset[i] for i in group]
             batch = base._pack(examples)
-            db = shard_batch(batch.device_batch(), base.mesh)
+            db = base._to_device(batch)
             m = self._eval_step(params_s, stats_s, db, batch.num_silent)
             total_loss += float(m["loss"])
             batches += 1

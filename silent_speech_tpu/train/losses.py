@@ -77,7 +77,8 @@ def transduction_loss(pred: jnp.ndarray, phoneme_pred: jnp.ndarray,
 
     utt_pred = gather_utterances(flat_pred, batch.utt_gather_idx)
     utt_phone = gather_utterances(flat_phone, batch.utt_gather_idx)
-    y = batch.audio_features                      # (U, T, 80)
+    # targets may arrive in a reduced transfer dtype; compute in f32
+    y = batch.audio_features.astype(jnp.float32)  # (U, T, 80)
     y_phone = batch.phonemes                      # (U, T) target timeline
     utt_len = batch.utt_len                       # (U,) prediction frames
     tgt_len = batch.target_len                    # (U,) target frames

@@ -136,10 +136,27 @@ class RecognitionTrainer:
 
     def _pack(self, examples: List[dict]) -> PackedBatch:
         dp = self.mesh.shape["data"]
+        cb = _round_up(self.cfg.data.chunk_bucket, dp)
+        fixed_chunks = fixed_utts = fixed_t = None
+        if self.cfg.data.fixed_shapes:
+            frames_cap = int(self.cfg.recognition.max_batch_len
+                             * (516.79 / 1000.0) / 6.0)
+            fixed_t = self.cfg.data.t_cap
+            fixed_utts = _round_up(self.cfg.data.utt_cap, dp)
+            fixed_chunks = _round_up(
+                -(-frames_cap // self.cfg.data.seq_len) + 2, cb)
         return pack_batch(
-            examples, seq_len=self.cfg.data.seq_len,
-            chunk_bucket=_round_up(self.cfg.data.chunk_bucket, dp),
-            utt_bucket=_round_up(8, dp), with_audio=False)
+            examples, seq_len=self.cfg.data.seq_len, chunk_bucket=cb,
+            utt_bucket=_round_up(8, dp), with_audio=False,
+            fixed_chunks=fixed_chunks, fixed_utts=fixed_utts,
+            fixed_t=fixed_t)
+
+    def _to_device(self, batch: PackedBatch):
+        db = batch.device_batch(
+            send_features=self.cfg.data.send_feature_input)
+        if self.mesh.devices.size > 1:
+            return shard_batch(db, self.mesh)
+        return db
 
     # ---------------- train / eval ------------------------------------
     def fit(self, trainset: EMGDataset, devset: EMGDataset,
@@ -178,7 +195,7 @@ class RecognitionTrainer:
                 batch = self._pack([trainset[i] for i in idx_batch])
                 if self.state is None:
                     self.init_state(batch, seed=seed)
-                db = shard_batch(batch.device_batch(), self.mesh)
+                db = self._to_device(batch)
                 # reference counts warmup in batches, stepping every 2
                 lr = warmup_lr(global_step, cfg.learning_rate,
                                cfg.learning_rate_warmup) * multistep.scale

@@ -76,6 +76,8 @@ class TransductionTrainer:
         self.tx = make_adamw(weight_decay=cfg.transduction.l2)
         self.state: Optional[TrainState] = None
         self._train_step = self._build_train_step()
+        self._wave_step = self._build_wave_step()
+        self._cache_step = self._build_cache_step()
         self._eval_step = self._build_eval_step()
         self._forward = self._build_forward()
 
@@ -120,6 +122,132 @@ class TransductionTrainer:
         return jax.jit(train_step, donate_argnums=(0,),
                        static_argnums=(4,))
 
+    def _build_wave_step(self):
+        """One step over a stacked wave of W batches: slice batch ``i`` on
+        device, then the normal step body. The wave is uploaded once while
+        the device is idle (remote-device links serialize H2D transfers
+        against in-flight compute, so per-step uploads are ruinous)."""
+        w = self.cfg.transduction.phoneme_loss_weight
+
+        def wave_step(state: TrainState, wave, i, rng, lr, n_silent):
+            batch = jax.tree_util.tree_map(lambda x: x[i], wave)
+            state = state.replace(
+                opt_state=set_learning_rate(state.opt_state, lr))
+            step_rng = jax.random.fold_in(rng, state.step)
+            shift_rng, dropout_rng = jax.random.split(step_rng)
+
+            def loss_fn(params):
+                (pred, phone), mutated = self._apply(
+                    params, state.batch_stats, batch, train=True,
+                    rngs={"shift": shift_rng, "dropout": dropout_rng},
+                    mutable=True)
+                out = transduction_loss(pred, phone, batch, w,
+                                        n_silent=n_silent)
+                return out.loss, (mutated["batch_stats"], out)
+
+            (loss, (bs, out)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            new_state = state.apply_gradients(grads, new_batch_stats=bs)
+            metrics = {"loss": loss, "correct": out.correct_phones,
+                       "total": out.total_length}
+            return new_state, metrics
+
+        return jax.jit(wave_step, donate_argnums=(0,),
+                       static_argnums=(5,))
+
+    def _cache_caps(self):
+        """Static shape caps for on-device assembly (same as _pack's)."""
+        cb = _round_up(self.cfg.data.chunk_bucket,
+                       self.mesh.shape["data"])
+        return dict(
+            n_chunks=_round_up(
+                -(-self._frames_cap // self.cfg.data.seq_len) + 2, cb),
+            seq_len=self.cfg.data.seq_len,
+            t_cap=self.cfg.data.t_cap,
+            text_cap=128,
+        )
+
+    def _build_cache_step(self):
+        """Train step over the HBM corpus cache: per-step host→device
+        traffic is one (U,) id vector; the packed batch is assembled by
+        on-device gathers (data/device_cache.py)."""
+        from ..data.device_cache import assemble_batch
+
+        w = self.cfg.transduction.phoneme_loss_weight
+
+        def cache_step(state: TrainState, arrays, utt_ids, utt_valid, rng,
+                       lr, n_silent):
+            batch = assemble_batch(arrays, utt_ids, utt_valid,
+                                   **self._cache_caps())
+            state = state.replace(
+                opt_state=set_learning_rate(state.opt_state, lr))
+            step_rng = jax.random.fold_in(rng, state.step)
+            shift_rng, dropout_rng = jax.random.split(step_rng)
+
+            def loss_fn(params):
+                (pred, phone), mutated = self._apply(
+                    params, state.batch_stats, batch, train=True,
+                    rngs={"shift": shift_rng, "dropout": dropout_rng},
+                    mutable=True)
+                out = transduction_loss(pred, phone, batch, w,
+                                        n_silent=n_silent)
+                return out.loss, (mutated["batch_stats"], out)
+
+            (loss, (bs, out)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            new_state = state.apply_gradients(grads, new_batch_stats=bs)
+            metrics = {"loss": loss, "correct": out.correct_phones,
+                       "total": out.total_length}
+            return new_state, metrics
+
+        return jax.jit(cache_step, donate_argnums=(0,),
+                       static_argnums=(6,))
+
+    def cache_step_ids(self, corpus, ids: List[int], rng, lr: float):
+        """Run one cached-corpus step for the given utterance indices;
+        returns metrics (or None if the batch exceeds the static caps)."""
+        caps = self._cache_caps()
+        u_cap = _round_up(self.cfg.data.utt_cap, self.mesh.shape["data"])
+        ids = corpus.order_silent_first(ids)
+        # static-cap guards: oversized batches fall back to the host path
+        if (len(ids) > u_cap
+                or int(corpus.feat_len_host[ids].sum())
+                > caps["n_chunks"] * caps["seq_len"]
+                or int(corpus.feat_len_host[ids].max(initial=0))
+                > caps["t_cap"]
+                or int(corpus.tgt_len_host[ids].max(initial=0))
+                > caps["t_cap"]
+                or int(corpus.text_len_host[ids].max(initial=0))
+                > caps["text_cap"]):
+            return None
+        n_sil = sum(1 for i in ids if corpus.silent_mask[i])
+        n_silent = min(-(-max(n_sil, 0) // 4) * 4, u_cap) if n_sil else 0
+        utt_ids = np.zeros(u_cap, np.int32)
+        utt_ids[: len(ids)] = ids
+        valid = np.zeros(u_cap, bool)
+        valid[: len(ids)] = True
+        self.state, metrics = self._cache_step(
+            self.state, corpus.arrays, utt_ids, valid,
+            jax.random.PRNGKey(0) if rng is None else rng,
+            np.float32(lr), n_silent)
+        return metrics
+
+    def _upload_wave(self, batches: List[PackedBatch]):
+        """Stack W device-batches and ship them in one transfer."""
+        dbs = [b.device_batch(
+            send_features=self.cfg.data.send_feature_input,
+            target_dtype=(np.float16
+                          if self.cfg.data.target_transfer_dtype
+                          == "float16" else None)) for b in batches]
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs), *dbs)
+        if self.mesh.devices.size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(self.mesh, P(None, "data"))
+            return jax.device_put(stacked, sharding)
+        return jax.device_put(stacked)
+
     def _build_eval_step(self):
         w = self.cfg.transduction.phoneme_loss_weight
 
@@ -163,12 +291,40 @@ class TransductionTrainer:
         return state
 
     # ---------------- batching ----------------------------------------
+    @property
+    def _frames_cap(self) -> int:
+        """Packed feature frames implied by the raw-sample batch capacity
+        (1 kHz capture → 516.79 Hz → frame hop 6, read_emg.py:70-88)."""
+        return int(self.cfg.transduction.max_batch_len
+                   * (516.79 / 1000.0) / 6.0)
+
     def _pack(self, examples: List[dict]) -> PackedBatch:
         dp = self.mesh.shape["data"]
+        cb = _round_up(self.cfg.data.chunk_bucket, dp)
+        fixed_chunks = fixed_utts = fixed_t = None
+        if self.cfg.data.fixed_shapes:
+            fixed_t = self.cfg.data.t_cap
+            fixed_utts = _round_up(self.cfg.data.utt_cap, dp)
+            fixed_chunks = _round_up(
+                -(-self._frames_cap // self.cfg.data.seq_len) + 2, cb)
         return pack_batch(
-            examples, seq_len=self.cfg.data.seq_len,
-            chunk_bucket=_round_up(self.cfg.data.chunk_bucket, dp),
-            utt_bucket=_round_up(8, dp))
+            examples, seq_len=self.cfg.data.seq_len, chunk_bucket=cb,
+            utt_bucket=_round_up(8, dp), fixed_chunks=fixed_chunks,
+            fixed_utts=fixed_utts, fixed_t=fixed_t)
+
+    def _to_device(self, batch: PackedBatch):
+        """DeviceBatch for a jit call. On a 1-device mesh host arrays are
+        passed straight into jit (implicit transfer overlaps better through
+        remote-device relays than explicit device_put); multi-device meshes
+        shard explicitly."""
+        db = batch.device_batch(
+            send_features=self.cfg.data.send_feature_input,
+            target_dtype=(np.float16
+                          if self.cfg.data.target_transfer_dtype
+                          == "float16" else None))
+        if self.mesh.devices.size > 1:
+            return shard_batch(db, self.mesh)
+        return db
 
     def batches(self, dataset: EMGDataset, max_len: Optional[int] = None,
                 seed: Optional[int] = None) -> Iterable[PackedBatch]:
@@ -214,22 +370,85 @@ class TransductionTrainer:
         # one sampler across epochs → fresh shuffle each epoch
         sampler = SizeAwareSampler(trainset, cfg.max_batch_len, seed=seed)
 
+        wave_size = max(1, self.cfg.data.wave_size) \
+            if self.cfg.data.fixed_shapes else 1
+
+        corpus = None
+        if (self.cfg.data.device_cache and self.cfg.data.fixed_shapes
+                and self.mesh.devices.size == 1):
+            from ..data.device_cache import DeviceCorpus
+
+            logging.info("building HBM corpus cache (%d examples)",
+                         len(trainset))
+            corpus = DeviceCorpus.build(
+                [trainset[i] for i in range(len(trainset))])
+
         for epoch in range(start_epoch, epochs):
             losses = []
             t0 = time.time()
             n_steps = 0
-            for idx_batch in sampler:
-                batch = self._pack([trainset[i] for i in idx_batch])
-                if self.state is None:
-                    self.init_state(batch, seed=seed)
-                db = shard_batch(batch.device_batch(), self.mesh)
-                lr = warmup_lr(global_step, cfg.learning_rate,
-                               cfg.learning_rate_warmup) * plateau.scale
-                self.state, metrics = self._train_step(
-                    self.state, db, rng, np.float32(lr), batch.num_silent)
-                losses.append(metrics["loss"])
-                global_step += 1
-                n_steps += 1
+            batch_iter = iter(sampler)
+
+            def take_wave():
+                out = []
+                for idx_batch in batch_iter:
+                    out.append(self._pack([trainset[i]
+                                           for i in idx_batch]))
+                    if len(out) >= wave_size:
+                        break
+                return out
+
+            def lr_now():
+                return np.float32(
+                    warmup_lr(global_step, cfg.learning_rate,
+                              cfg.learning_rate_warmup) * plateau.scale)
+
+            if corpus is not None:
+                for idx_batch in batch_iter:
+                    metrics = self.cache_step_ids(corpus, idx_batch, rng,
+                                                  lr_now())
+                    if metrics is None:  # over static caps → host path
+                        b = self._pack([trainset[i] for i in idx_batch])
+                        db = self._to_device(b)
+                        self.state, metrics = self._train_step(
+                            self.state, db, rng, lr_now(),
+                            b.num_silent)
+                    losses.append(metrics["loss"])
+                    global_step += 1
+                    n_steps += 1
+                current = []
+            else:
+                current = take_wave()
+            metrics = None
+            while current:
+                stackable = (len(current) > 1
+                             and len({b.shape_key()
+                                      for b in current}) == 1
+                             and all(b.num_silent is not None
+                                     for b in current))
+                if stackable:
+                    ns = max(b.num_silent for b in current)
+                    wave = self._upload_wave(current)
+                    for i in range(len(current)):
+                        self.state, metrics = self._wave_step(
+                            self.state, wave, np.int32(i), rng,
+                            lr_now(), ns)
+                        losses.append(metrics["loss"])
+                        global_step += 1
+                        n_steps += 1
+                else:
+                    for b in current:
+                        db = self._to_device(b)
+                        self.state, metrics = self._train_step(
+                            self.state, db, rng, lr_now(), b.num_silent)
+                        losses.append(metrics["loss"])
+                        global_step += 1
+                        n_steps += 1
+                # pack the next wave while the device runs this one, then
+                # sync so the next upload lands on an idle device
+                current = take_wave()
+                if metrics is not None:
+                    float(metrics["loss"])
             train_loss = float(np.mean([float(l) for l in losses])) \
                 if losses else float("nan")
             dt = time.time() - t0
@@ -271,6 +490,26 @@ class TransductionTrainer:
                     devset.mfcc_norm, vocoder)
         return self.state
 
+    def eval_groups(self, dataset: EMGDataset, batch_size: int = 32):
+        """Group eval examples to fit the fixed packed-batch capacity
+        (keeps validation on the single compiled shape)."""
+        groups: List[List[int]] = []
+        cur: List[int] = []
+        cur_frames = 0
+        cap = self._frames_cap if self.cfg.data.fixed_shapes else None
+        for i in range(len(dataset)):
+            frames = dataset[i]["emg"].shape[0]
+            over_cap = cap is not None and cur and \
+                cur_frames + frames > cap
+            if len(cur) >= batch_size or over_cap:
+                groups.append(cur)
+                cur, cur_frames = [], 0
+            cur.append(i)
+            cur_frames += frames
+        if cur:
+            groups.append(cur)
+        return groups
+
     def evaluate(self, dataset: EMGDataset, batch_size: int = 32):
         """Validation loss / phoneme accuracy / confusion matrix
         (reference ``transduction_model.py:33-55``)."""
@@ -280,13 +519,10 @@ class TransductionTrainer:
         correct = 0
         total = 0
         confusion = np.zeros((NUM_PHONES, NUM_PHONES))
-        for start in range(0, len(dataset), batch_size):
-            examples = [dataset[i]
-                        for i in range(start,
-                                       min(start + batch_size,
-                                           len(dataset)))]
+        for group in self.eval_groups(dataset, batch_size):
+            examples = [dataset[i] for i in group]
             batch = self._pack(examples)
-            db = shard_batch(batch.device_batch(), self.mesh)
+            db = self._to_device(batch)
             m = self._eval_step(self.state.params, self.state.batch_stats,
                                 db, batch.num_silent)
             total_loss += float(m["loss"])

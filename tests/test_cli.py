@@ -37,6 +37,7 @@ def _run(script, corpus, out_dir, extra=()):
         "--output_directory", out_dir,
         "--model_size", "64", "--num_layers", "2",
         "--epochs", "1", "--dropout", "0.0",
+        "--max_batch_len", "8000", "--t_cap", "256", "--utt_cap", "8",
         *extra,
     ]
     return subprocess.run(args, capture_output=True, text=True, env=env,

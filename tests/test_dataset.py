@@ -161,3 +161,21 @@ def test_load_utterance_neighbor_context(corpus):
     t = utt["emg_features"].shape[0]
     assert utt["raw_emg"].shape == (8 * t, 8)
     assert utt["audio_features"].shape[0] == t
+
+
+def test_fixed_shape_packing_single_signature(trainset):
+    """With fixed caps, different batches pack to identical shapes."""
+    b1 = pack_batch([trainset[0], trainset[1]], seq_len=200,
+                    chunk_bucket=2, utt_bucket=4, fixed_chunks=16,
+                    fixed_utts=8, fixed_t=256)
+    b2 = pack_batch([trainset[i] for i in range(5)], seq_len=200,
+                    chunk_bucket=2, utt_bucket=4, fixed_chunks=16,
+                    fixed_utts=8, fixed_t=256)
+    assert b1.shape_key() == b2.shape_key()
+    assert b1.emg.shape[0] == 16
+    assert b1.utt_gather_idx.shape == (8, 256)
+    # overflow falls back to bucketed sizes rather than failing
+    b3 = pack_batch([trainset[i] for i in range(5)], seq_len=200,
+                    chunk_bucket=2, utt_bucket=4, fixed_chunks=2,
+                    fixed_utts=4, fixed_t=256)
+    assert b3.emg.shape[0] >= 2

@@ -1,0 +1,127 @@
+"""HBM corpus cache: on-device batch assembly vs host pack_batch."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from silent_speech_tpu.data.device_cache import DeviceCorpus, assemble_batch
+from silent_speech_tpu.data.packing import pack_batch
+
+
+def _fake_example(rng, t, silent, sess=0, t_tgt=None, n_text=12):
+    ex = {
+        "emg": rng.normal(size=(t, 112)).astype(np.float32),
+        "raw_emg": rng.normal(size=(t * 8, 8)).astype(np.float32),
+        "session_ids": np.full(t, sess, dtype=np.int64),
+        "silent": silent,
+        "text": "x",
+        "text_int": rng.integers(0, 37, size=n_text).astype(np.int64),
+    }
+    if silent:
+        tt = t_tgt or t + 5
+        ex["parallel_voiced_audio_features"] = \
+            rng.normal(size=(tt, 80)).astype(np.float32)
+        ex["parallel_voiced_emg"] = rng.normal(size=(tt, 112)) \
+            .astype(np.float32)
+        ex["phonemes"] = rng.integers(0, 48, size=tt).astype(np.int64)
+    else:
+        ex["audio_features"] = rng.normal(size=(t, 80)).astype(np.float32)
+        ex["phonemes"] = rng.integers(0, 48, size=t).astype(np.int64)
+    return ex
+
+
+@pytest.fixture(scope="module")
+def examples():
+    rng = np.random.default_rng(0)
+    return [
+        _fake_example(rng, 55, silent=True, sess=1, t_tgt=62),
+        _fake_example(rng, 40, silent=False, sess=0),
+        _fake_example(rng, 71, silent=True, sess=2, t_tgt=66),
+        _fake_example(rng, 33, silent=False, sess=3),
+        _fake_example(rng, 28, silent=False, sess=1),
+    ]
+
+
+def test_assembled_batch_matches_host_pack(examples):
+    corpus = DeviceCorpus.build(examples)
+    ids = corpus.order_silent_first(range(len(examples)))
+
+    n_chunks, seq_len, t_cap, text_cap, u_cap = 8, 40, 128, 64, 8
+    host = pack_batch([examples[i] for i in ids], seq_len=seq_len,
+                      chunk_bucket=1, utt_bucket=4,
+                      sort_silent_first=False,
+                      fixed_chunks=n_chunks, fixed_utts=u_cap,
+                      fixed_t=t_cap)
+    # host text pads to a different bucket; compare on text_cap overlap
+    utt_ids = np.zeros(u_cap, np.int32)
+    utt_ids[: len(ids)] = ids
+    valid = np.zeros(u_cap, bool)
+    valid[: len(ids)] = True
+
+    dev = assemble_batch(corpus.arrays, jnp.asarray(utt_ids),
+                         jnp.asarray(valid), n_chunks=n_chunks,
+                         seq_len=seq_len, t_cap=t_cap, text_cap=text_cap)
+
+    np.testing.assert_allclose(np.asarray(dev.raw_emg), host.raw_emg,
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(dev.session_ids),
+                                  host.session_ids)
+    np.testing.assert_array_equal(np.asarray(dev.segment_ids),
+                                  host.segment_ids)
+    np.testing.assert_array_equal(np.asarray(dev.utt_len), host.utt_len)
+    np.testing.assert_array_equal(np.asarray(dev.target_len),
+                                  host.target_len)
+    np.testing.assert_array_equal(np.asarray(dev.silent), host.silent)
+    np.testing.assert_allclose(np.asarray(dev.audio_features),
+                               host.audio_features, atol=1e-6)
+    # gather indices must address identical rows of the packed output
+    np.testing.assert_array_equal(np.asarray(dev.utt_gather_idx),
+                                  host.utt_gather_idx)
+    # phonemes: host pads with 0 beyond len; device too
+    np.testing.assert_array_equal(np.asarray(dev.phonemes), host.phonemes)
+    # text: compare up to text_cap
+    tc = min(text_cap, host.text_int.shape[1])
+    np.testing.assert_array_equal(np.asarray(dev.text_int)[:, :tc],
+                                  host.text_int[:, :tc])
+    np.testing.assert_array_equal(np.asarray(dev.text_len), host.text_len)
+
+
+def test_cache_step_matches_host_step(examples):
+    """A full cached-corpus train step computes the same loss as the
+    host-packed step on the same utterances."""
+    from silent_speech_tpu.config import Config
+    from silent_speech_tpu.parallel.mesh import make_mesh
+    from silent_speech_tpu.train.transduction import TransductionTrainer
+
+    cfg = Config()
+    cfg.model.model_size = 64
+    cfg.model.num_layers = 2
+    cfg.model.dim_feedforward = 128
+    cfg.model.dropout = 0.0
+    cfg.model.compute_dtype = "float32"
+    cfg.data.seq_len = 40
+    cfg.data.t_cap = 128
+    cfg.data.utt_cap = 8
+    cfg.transduction.max_batch_len = int(8 * 40 * 6 / 0.51679)  # ≈ caps
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    trainer = TransductionTrainer(cfg, mesh=mesh)
+
+    corpus = DeviceCorpus.build(examples)
+    batch = trainer._pack(examples)
+    trainer.init_state(batch, seed=0)
+    params0 = jax.device_get(trainer.state.params)
+
+    rng = jax.random.PRNGKey(0)
+    m_cache = trainer.cache_step_ids(corpus, list(range(len(examples))),
+                                     rng, 1e-3)
+    assert m_cache is not None
+    loss_cache = float(m_cache["loss"])
+
+    # reset and run the host-packed step
+    trainer.init_state(batch, seed=0)
+    db = trainer._to_device(batch)
+    _, m_host = trainer._train_step(trainer.state, db, rng,
+                                    np.float32(1e-3), batch.num_silent)
+    assert loss_cache == pytest.approx(float(m_host["loss"]), rel=1e-4)

@@ -34,6 +34,7 @@ def trainers(corpus):
     cfg.model.dim_feedforward = 128
     cfg.model.dropout = 0.0
     cfg.model.compute_dtype = "float32"
+    cfg.data.fixed_shapes = False
     mesh = make_mesh(1, 1, devices=jax.devices()[:1])
     trainset = EMGDataset(corpus, dev=False, test=False)
     out = []

@@ -31,6 +31,7 @@ def _cfg(corpus_cfg, out):
     cfg.model.compute_dtype = "float32"
     cfg.recognition.output_directory = out
     cfg.recognition.max_batch_len = 8000
+    cfg.data.fixed_shapes = False
     cfg.recognition.lm_path = ""  # no LM file in tests
     cfg.recognition.beam_width = 8
     return cfg

@@ -29,6 +29,7 @@ def _tiny_config(corpus_cfg, out_dir):
     cfg.transduction.learning_rate = 1e-3
     cfg.transduction.learning_rate_warmup = 10
     cfg.transduction.max_batch_len = 8000
+    cfg.data.fixed_shapes = False  # dynamic buckets keep CPU tests fast
     return cfg
 
 
