@@ -72,6 +72,7 @@ class RecognitionTrainer:
                              grad_accum=cfg.recognition.grad_accum)
         self.state: Optional[TrainState] = None
         self._train_step = self._build_train_step()
+        self._cache_step = self._build_cache_step()
         self._logits_fn = self._build_logits_fn()
         self._lm: Optional[ArpaLM] = None
 
@@ -108,6 +109,72 @@ class RecognitionTrainer:
             return new_state, {"loss": loss}
 
         return jax.jit(train_step, donate_argnums=(0,))
+
+    def _cache_caps(self):
+        cb = _round_up(self.cfg.data.chunk_bucket, self.mesh.shape["data"])
+        frames_cap = int(self.cfg.recognition.max_batch_len
+                         * (516.79 / 1000.0) / 6.0)
+        return dict(
+            n_chunks=_round_up(
+                -(-frames_cap // self.cfg.data.seq_len) + 2, cb),
+            seq_len=self.cfg.data.seq_len,
+            t_cap=self.cfg.data.t_cap,
+            text_cap=128,
+        )
+
+    def _build_cache_step(self):
+        """CTC train step over the HBM corpus cache (see
+        transduction._build_cache_step)."""
+        from ..data.device_cache import assemble_batch
+
+        blank = self.blank_id
+
+        def cache_step(state: TrainState, arrays, utt_ids, utt_valid, rng,
+                       lr):
+            batch = assemble_batch(arrays, utt_ids, utt_valid,
+                                   **self._cache_caps())
+            state = state.replace(
+                opt_state=set_learning_rate(state.opt_state, lr))
+            step_rng = jax.random.fold_in(rng, state.step)
+            shift_rng, dropout_rng = jax.random.split(step_rng)
+
+            def loss_fn(params):
+                logits, mutated = self._apply(
+                    params, state.batch_stats, batch, train=True,
+                    rngs={"shift": shift_rng, "dropout": dropout_rng},
+                    mutable=True)
+                log_probs = jax.nn.log_softmax(logits, axis=-1)
+                loss = ctc_loss(log_probs, batch, blank_id=blank)
+                return loss, mutated["batch_stats"]
+
+            (loss, bs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            new_state = state.apply_gradients(grads, new_batch_stats=bs)
+            return new_state, {"loss": loss}
+
+        return jax.jit(cache_step, donate_argnums=(0,))
+
+    def cache_step_ids(self, corpus, ids: List[int], rng, lr: float):
+        """One cached-corpus CTC step; None if the batch exceeds caps."""
+        caps = self._cache_caps()
+        u_cap = _round_up(self.cfg.data.utt_cap, self.mesh.shape["data"])
+        ids = list(ids)
+        if (len(ids) > u_cap
+                or int(corpus.feat_len_host[ids].sum())
+                > caps["n_chunks"] * caps["seq_len"]
+                or int(corpus.feat_len_host[ids].max(initial=0))
+                > caps["t_cap"]
+                or int(corpus.text_len_host[ids].max(initial=0))
+                > caps["text_cap"]):
+            return None
+        utt_ids = np.zeros(u_cap, np.int32)
+        utt_ids[: len(ids)] = ids
+        valid = np.zeros(u_cap, bool)
+        valid[: len(ids)] = True
+        self.state, metrics = self._cache_step(
+            self.state, corpus.arrays, utt_ids, valid, rng,
+            np.float32(lr))
+        return metrics
 
     def _build_logits_fn(self):
         def logits_fn(params, batch_stats, emg, raw, sess):
@@ -188,19 +255,32 @@ class RecognitionTrainer:
                 logging.info("resumed from epoch %d (step %d)",
                              start_epoch, global_step)
 
+        corpus = None
+        if (self.cfg.data.device_cache and self.cfg.data.fixed_shapes
+                and self.mesh.devices.size == 1):
+            from ..data.device_cache import DeviceCorpus
+
+            logging.info("building HBM corpus cache (%d examples)",
+                         len(trainset))
+            corpus = DeviceCorpus.build(
+                [trainset[i] for i in range(len(trainset))])
+
         for epoch in range(start_epoch, epochs):
             losses = []
             t0 = time.time()
             for idx_batch in sampler:
-                batch = self._pack([trainset[i] for i in idx_batch])
-                if self.state is None:
-                    self.init_state(batch, seed=seed)
-                db = self._to_device(batch)
                 # reference counts warmup in batches, stepping every 2
                 lr = warmup_lr(global_step, cfg.learning_rate,
                                cfg.learning_rate_warmup) * multistep.scale
-                self.state, metrics = self._train_step(self.state, db, rng,
-                                                       np.float32(lr))
+                metrics = None
+                if corpus is not None:
+                    metrics = self.cache_step_ids(corpus, idx_batch, rng,
+                                                  lr)
+                if metrics is None:
+                    batch = self._pack([trainset[i] for i in idx_batch])
+                    db = self._to_device(batch)
+                    self.state, metrics = self._train_step(
+                        self.state, db, rng, np.float32(lr))
                 losses.append(metrics["loss"])
                 global_step += 1
             train_loss = float(np.mean([float(l) for l in losses])) \
