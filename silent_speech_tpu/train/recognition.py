@@ -177,13 +177,56 @@ class RecognitionTrainer:
         return metrics
 
     def _build_logits_fn(self):
-        def logits_fn(params, batch_stats, emg, raw, sess):
+        def logits_fn(params, batch_stats, emg, raw, sess, seg):
             out = self.model.apply(
                 {"params": params, "batch_stats": batch_stats},
-                emg, raw, sess, train=False)
+                emg, raw, sess, segment_ids=seg, train=False)
             return jax.nn.log_softmax(out, axis=-1)
 
         return jax.jit(logits_fn)
+
+    def _build_masked_logits_fn(self):
+        """Full-utterance forward over a padded batch with segment masking:
+        real frames attend only to real frames, so each utterance sees
+        exactly the attention context of a solo forward (the reference
+        evaluates one utterance at a time, ``recognition_model.py:37``)."""
+        def fn(params, batch_stats, raw, sess, seg):
+            emg = jnp.zeros((raw.shape[0], 1, 112), jnp.float32)
+            out = self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                emg, raw, sess, segment_ids=seg, train=False)
+            return jax.nn.log_softmax(out, axis=-1)
+
+        return jax.jit(fn)
+
+    def batch_logits(self, examples: List[dict], group: int = 16
+                     ) -> List[np.ndarray]:
+        """(T_i, 38) log-probs for many utterances in a few padded batched
+        forwards (vs one forward per utterance)."""
+        assert self.state is not None
+        if not hasattr(self, "_masked_logits_fn"):
+            self._masked_logits_fn = self._build_masked_logits_fn()
+        order = sorted(range(len(examples)),
+                       key=lambda i: examples[i]["emg"].shape[0])
+        out: List[Optional[np.ndarray]] = [None] * len(examples)
+        for g in range(0, len(order), group):
+            ids = order[g: g + group]
+            lens = [examples[i]["emg"].shape[0] for i in ids]
+            t_pad = -(-max(lens) // 32) * 32
+            b = len(ids)
+            raw = np.zeros((b, t_pad * 8, 8), np.float32)
+            sess = np.zeros((b, t_pad), np.int32)
+            seg = np.zeros((b, t_pad), np.int32)
+            for k, i in enumerate(ids):
+                t = lens[k]
+                raw[k, : t * 8] = examples[i]["raw_emg"]
+                sess[k, :t] = examples[i]["session_ids"]
+                seg[k, :t] = 1
+            lp = np.asarray(self._masked_logits_fn(
+                self.state.params, self.state.batch_stats, raw, sess, seg))
+            for k, i in enumerate(ids):
+                out[i] = lp[k, : lens[k]]
+        return out  # type: ignore[return-value]
 
     # ---------------- state / batching --------------------------------
     def init_state(self, example_batch: PackedBatch, seed: int = 0
@@ -316,7 +359,9 @@ class RecognitionTrainer:
         return self._lm
 
     def predict_logits(self, example: dict) -> np.ndarray:
-        """(T, 38) log-probs for one utterance (padded/forwarded/sliced)."""
+        """(T, 38) log-probs for one utterance. Padding frames are masked
+        out of attention (segment ids), so the result equals a solo
+        unpadded forward — the reference's eval setting."""
         assert self.state is not None
         t = example["emg"].shape[0]
         t_pad = _round_up(max(t, 8), 32)
@@ -326,8 +371,10 @@ class RecognitionTrainer:
                        np.float32)
         raw[0, : t * 8] = example["raw_emg"]
         sess = np.zeros((1, t_pad), np.int32)
+        seg = np.zeros((1, t_pad), np.int32)
+        seg[0, :t] = 1
         lp = self._logits_fn(self.state.params, self.state.batch_stats,
-                             emg, raw, sess)
+                             emg, raw, sess, seg)
         return np.asarray(lp)[0, :t]
 
     def decode(self, example: dict, beam: bool = True) -> str:
@@ -342,11 +389,28 @@ class RecognitionTrainer:
             ids = greedy_ctc_decode(lp, self.blank_id)
         return self.text_transform.int_to_text(ids)
 
-    def evaluate_wer(self, dataset: EMGDataset, beam: bool = True) -> float:
-        """Validation WER (reference ``recognition_model.py:30-58``)."""
-        references, predictions = [], []
-        for i in range(len(dataset)):
-            ex = dataset[i]
-            predictions.append(self.decode(ex, beam=beam))
-            references.append(self.text_transform.clean_text(ex["text"]))
+    def evaluate_wer(self, dataset: EMGDataset, beam: bool = True,
+                     batched: bool = True) -> float:
+        """Validation WER (reference ``recognition_model.py:30-58``).
+        ``batched`` computes all logits in a few padded device forwards;
+        decoding stays per-utterance on the host."""
+        cfg = self.cfg.recognition
+        examples = [dataset[i] for i in range(len(dataset))]
+        references = [self.text_transform.clean_text(e["text"])
+                      for e in examples]
+        predictions = []
+        if batched:
+            all_lp = self.batch_logits(examples)
+            for lp in all_lp:
+                if beam:
+                    ids = beam_ctc_decode(
+                        lp, self.text_transform.chars, self.blank_id,
+                        beam_width=cfg.beam_width, lm=self._get_lm(),
+                        alpha=cfg.lm_alpha, beta=cfg.lm_beta)
+                else:
+                    ids = greedy_ctc_decode(lp, self.blank_id)
+                predictions.append(self.text_transform.int_to_text(ids))
+        else:
+            for ex in examples:
+                predictions.append(self.decode(ex, beam=beam))
         return wer(references, predictions)

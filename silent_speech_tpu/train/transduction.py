@@ -262,10 +262,10 @@ class TransductionTrainer:
         return jax.jit(eval_step, static_argnums=(3,))
 
     def _build_forward(self):
-        def forward(params, batch_stats, emg, raw, sess):
+        def forward(params, batch_stats, emg, raw, sess, seg):
             return self.model.apply(
                 {"params": params, "batch_stats": batch_stats},
-                emg, raw, sess, train=False)
+                emg, raw, sess, segment_ids=seg, train=False)
 
         return jax.jit(forward)
 
@@ -536,7 +536,9 @@ class TransductionTrainer:
 
     # ---------------- inference ---------------------------------------
     def predict(self, example: dict) -> np.ndarray:
-        """(T, 80) normalized mel prediction for one utterance."""
+        """(T, 80) normalized mel prediction for one utterance. Padding is
+        masked out of attention, so the result equals a solo unpadded
+        forward (the reference's inference setting)."""
         assert self.state is not None
         t = example["emg"].shape[0]
         t_pad = _round_up(max(t, 8), 32)
@@ -547,8 +549,10 @@ class TransductionTrainer:
         raw[0, : t * 8] = example["raw_emg"]
         sess = np.zeros((1, t_pad), np.int32)
         sess[0, :t] = example["session_ids"]
+        seg = np.zeros((1, t_pad), np.int32)
+        seg[0, :t] = 1
         pred, _ = self._forward(self.state.params, self.state.batch_stats,
-                                emg, raw, sess)
+                                emg, raw, sess, seg)
         return np.asarray(pred)[0, :t]
 
     def get_aligned_prediction(self, example: dict, audio_normalizer

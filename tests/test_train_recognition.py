@@ -79,3 +79,25 @@ def test_fit_epoch_decode_and_wer(corpus, tmp_path):
     assert isinstance(text_beam, str) and isinstance(text_greedy, str)
     w = trainer.evaluate_wer(devset, beam=False)
     assert 0.0 <= w  # untrained-ish model: any finite WER
+
+
+def test_batched_logits_match_single(corpus, tmp_path):
+    """Padded+segment-masked batched forward == per-utterance forward."""
+    trainset = EMGDataset(corpus, dev=False, test=False)
+    cfg = _cfg(corpus, str(tmp_path / "bl_out"))
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    trainer = RecognitionTrainer(cfg, mesh=mesh)
+    trainer.init_state(trainer._pack([trainset[0]]), seed=0)
+
+    examples = [trainset[i] for i in range(4)]
+    batched = trainer.batch_logits(examples, group=4)
+    for ex, lp in zip(examples, batched):
+        single = trainer.predict_logits(ex)
+        assert lp.shape == single.shape
+        np.testing.assert_allclose(lp, single, atol=2e-4)
+
+    # WER identical through both paths (greedy decode)
+    devset = EMGDataset(corpus, dev=True)
+    w_b = trainer.evaluate_wer(devset, beam=False, batched=True)
+    w_s = trainer.evaluate_wer(devset, beam=False, batched=False)
+    assert w_b == pytest.approx(w_s, abs=1e-9)
