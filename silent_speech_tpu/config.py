@@ -258,6 +258,10 @@ def config_from_flags() -> Config:
     """Build a typed Config from parsed absl FLAGS."""
     from absl import flags
 
+    from silent_speech_tpu.utils.platform import apply_env_platform_override
+
+    apply_env_platform_override()
+
     F = flags.FLAGS
     cfg = Config()
     cfg.model.model_size = F.model_size

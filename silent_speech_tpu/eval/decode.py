@@ -225,6 +225,8 @@ def _try_native_beam(lp, charset, blank_id, beam_width, lm, alpha, beta):
         if lm is None:
             return native.ctc_beam_decode(lp, charset, blank_id,
                                           beam_width, alpha, beta)
+        if getattr(lm, "binary_path", None) is not None:
+            return None  # KenLM binary: scored by the Python LM object
         path = getattr(lm, "path", None)
         if path is None:
             return None

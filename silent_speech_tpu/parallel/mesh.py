@@ -97,13 +97,26 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
-def shard_batch(batch, mesh: Mesh):
+def shard_batch(batch, mesh: Mesh, leading_axis: int = 0):
     """device_put a DeviceBatch with leading dims sharded over 'data'.
 
-    Leading dims must be divisible by the data-axis size — the packers'
-    ``chunk_bucket``/``utt_bucket`` guarantee that when set to a multiple of
-    the axis size.
+    The packers' ``chunk_bucket``/``utt_bucket`` guarantee divisibility of
+    the leading dim by the data-axis size for real batch arrays; anything
+    not divisible (e.g. the (1, 1, F) feature placeholder when
+    ``send_feature_input`` is off) is replicated instead.
     """
-    sharding = batch_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda v: jax.device_put(np.asarray(v), sharding), batch)
+    dp = mesh.shape["data"]
+    sharded = batch_sharding(mesh)
+    replicated = NamedSharding(mesh, P())
+
+    def put(v):
+        v = np.asarray(v)
+        ok = v.ndim > leading_axis and v.shape[leading_axis] % dp == 0
+        spec = [None] * v.ndim
+        if ok:
+            spec[leading_axis] = "data"
+        s = (NamedSharding(mesh, P(*spec)) if ok and leading_axis
+             else (sharded if ok else replicated))
+        return jax.device_put(v, s)
+
+    return jax.tree_util.tree_map(put, batch)

@@ -351,11 +351,36 @@ class RecognitionTrainer:
                 pass
         return self.state
 
-    def _get_lm(self) -> Optional[ArpaLM]:
+    def _get_lm(self):
+        """Beam-decode LM: KenLM probing ``.binary`` or ARPA text.
+
+        Load failures are LOUD (reference parity: ctcdecode crashes
+        without its ``lm.binary``, ``recognition_model.py:34-35``). The
+        single tolerated absence is the *default* ``lm.binary`` path not
+        existing — a fresh checkout without the downloaded LM — which
+        warns once and decodes LM-free so smoke runs still work.
+        """
         cfg = self.cfg.recognition
-        if self._lm is None and cfg.lm_path and os.path.exists(cfg.lm_path) \
-                and not cfg.lm_path.endswith(".binary"):
-            self._lm = ArpaLM(cfg.lm_path)
+        if self._lm is not None or not cfg.lm_path:
+            return self._lm
+        from ..config import RecognitionTrainConfig
+
+        is_default = cfg.lm_path == RecognitionTrainConfig().lm_path
+        if is_default and not os.path.exists(cfg.lm_path):
+            if not getattr(self, "_warned_no_lm", False):
+                logging.warning(
+                    "language model %r not found — decoding WITHOUT an "
+                    "LM; WER will not match the reference's LM-fused "
+                    "beam search (recognition_model.py:34-35). Pass "
+                    "--lm_path to a KenLM probing .binary or ARPA file.",
+                    cfg.lm_path)
+                self._warned_no_lm = True
+            return None
+        from ..eval.kenlm_binary import load_lm
+
+        self._lm = load_lm(cfg.lm_path)
+        logging.info("loaded %s LM from %s (order %d)",
+                     type(self._lm).__name__, cfg.lm_path, self._lm.order)
         return self._lm
 
     def predict_logits(self, example: dict) -> np.ndarray:

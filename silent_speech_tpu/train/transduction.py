@@ -242,10 +242,8 @@ class TransductionTrainer:
         stacked = jax.tree_util.tree_map(
             lambda *xs: np.stack(xs), *dbs)
         if self.mesh.devices.size > 1:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            sharding = NamedSharding(self.mesh, P(None, "data"))
-            return jax.device_put(stacked, sharding)
+            # wave axis 0 is the step index; batch arrays shard on axis 1
+            return shard_batch(stacked, self.mesh, leading_axis=1)
         return jax.device_put(stacked)
 
     def _build_eval_step(self):

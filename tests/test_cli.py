@@ -22,9 +22,10 @@ def corpus(tmp_path_factory):
 
 def _run(script, corpus, out_dir, extra=()):
     env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + \
-        " --xla_force_host_platform_device_count=8"
+    # JAX_PLATFORMS/XLA_FLAGS are consumed by sitecustomize before user code
+    # runs in the child; SSTPU_FORCE_PLATFORM is honored by
+    # config_from_flags() via the shared platform helper.
+    env["SSTPU_FORCE_PLATFORM"] = "cpu:8"
     args = [
         sys.executable, os.path.join(REPO, script),
         "--silent_data_directories",
@@ -52,6 +53,8 @@ def test_transduction_cli(corpus, tmp_path):
     log = open(os.path.join(out, "log.txt")).read()
     assert "finished epoch 1" in log
     assert "validation loss" in log
+    # the platform override must have actually taken effect in the child
+    assert "devices: 8 x" in log, log[:2000]
     assert os.path.exists(os.path.join(out, "model.pt"))
     assert os.path.isdir(os.path.join(out, "checkpoint"))
 
