@@ -84,26 +84,32 @@ def main():
     trainer.init_state(trainer._pack(example_sets[0]), seed=0)
     step_rng = jax.random.PRNGKey(0)
 
-    def one_step(i):
-        m = trainer.cache_step_ids(corpus, id_sets[i % 4], step_rng, 1e-3)
+    # W train steps per dispatch: lax.scan over the id wave against the
+    # HBM-resident corpus amortizes the remote-dispatch latency
+    wave = 4
+
+    def one_wave(i):
+        groups = [id_sets[(i + j) % 4] for j in range(wave)]
+        m = trainer.cache_scan_ids(corpus, groups, step_rng,
+                                   [1e-3] * wave)
         assert m is not None, "batch exceeded static caps"
         return m
 
     # warmup: compile + the remote-execution path needs ~a dozen
     # invocations to reach steady state; float() forces a real host sync
     # (block_until_ready is not a reliable barrier through the axon relay)
-    for i in range(16):
-        metrics = one_step(i)
-    float(metrics["loss"])
+    for i in range(8):
+        metrics = one_wave(i)
+    float(metrics["loss"][-1])
 
-    n_steps = 20
+    n_waves = 8
     t0 = time.time()
-    for i in range(n_steps):
-        metrics = one_step(i)
-    float(metrics["loss"])
+    for i in range(n_waves):
+        metrics = one_wave(i)
+    float(metrics["loss"][-1])
     dt = time.time() - t0
 
-    steps_per_sec = n_steps / dt
+    steps_per_sec = n_waves * wave / dt
     print(json.dumps({
         "metric": "train_steps_per_sec_emg2mel",
         "value": round(steps_per_sec, 3),

@@ -33,6 +33,9 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"
     # BatchNorm cross-replica sync axis; None = per-device stats.
     bn_axis_name: Optional[str] = "data"
+    # train-time random raw-signal shift (architecture.py:64-68); off for
+    # deterministic cross-framework parity runs
+    shift_augment: bool = True
 
 
 @dataclass
@@ -250,6 +253,9 @@ def define_flags() -> None:
                            " / 128000 recognition)")
     _i("t_cap", 1024, "fixed-shape cap on per-utterance frames")
     _i("utt_cap", 64, "fixed-shape cap on utterances per batch")
+    _i("wave_size", 8, "train steps fused per device dispatch (lax.scan "
+                       "over the HBM corpus cache; also the host-path "
+                       "upload wave length)")
 
     _FLAGS_REGISTERED = True
 
@@ -278,6 +284,7 @@ def config_from_flags() -> Config:
     cfg.data.fixed_shapes = F.fixed_shapes
     cfg.data.t_cap = F.t_cap
     cfg.data.utt_cap = F.utt_cap
+    cfg.data.wave_size = F.wave_size
 
     t = cfg.transduction
     t.batch_size = F.batch_size

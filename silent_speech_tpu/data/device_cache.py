@@ -28,14 +28,21 @@ from .packing import DeviceBatch
 
 
 class CorpusArrays(NamedTuple):
-    """Flat device-resident corpus (leading dims are corpus-wide sums)."""
+    """Flat device-resident corpus (leading dims are corpus-wide sums).
 
-    raw_flat: jnp.ndarray      # (sum 8T_u, 8)   raw model input
-    tgt_flat: jnp.ndarray      # (sum Ttgt_u, 80) mel targets
-    phon_flat: jnp.ndarray     # (sum Ttgt_u,)   target-timeline phonemes
-    text_flat: jnp.ndarray     # (sum chars_u,)  char ids
+    The raw signal is stored grouped by FEATURE FRAME — row f holds the 8
+    consecutive 8-channel samples of frame f flattened to 64 floats — so
+    batch assembly is one wide row-gather (a (T, 64) gather saturates HBM
+    where a (8T, 8) row gather is lane-starved). One trailing zero row
+    serves as the padding target for masked gathers.
+    """
+
+    raw_frames: jnp.ndarray    # (sum T_u + 1, 64) frame-grouped raw EMG
+    tgt_flat: jnp.ndarray      # (sum Ttgt_u + 1, 80) mel targets
+    phon_flat: jnp.ndarray     # (sum Ttgt_u + 1,) target-timeline phonemes
+    text_flat: jnp.ndarray     # (sum chars_u + 1,) char ids
     feat_len: jnp.ndarray      # (E,) feature frames per example
-    raw_off: jnp.ndarray       # (E,) offsets into raw_flat
+    raw_off: jnp.ndarray       # (E,) FRAME offsets into raw_frames
     tgt_off: jnp.ndarray       # (E,) offsets into tgt_flat / phon_flat
     tgt_len: jnp.ndarray       # (E,)
     text_off: jnp.ndarray      # (E,)
@@ -55,9 +62,14 @@ class DeviceCorpus:
     text_len_host: np.ndarray
 
     @staticmethod
-    def build(examples: Sequence[dict], device=None) -> "DeviceCorpus":
+    def build(examples: Sequence[dict], device=None,
+              mesh=None) -> "DeviceCorpus":
         """Host-side flattening of featurized example dicts (the
-        ``EMGDataset.__getitem__`` schema), then one upload."""
+        ``EMGDataset.__getitem__`` schema), then one upload.
+
+        With ``mesh``, the flat arrays replicate across every device (the
+        corpus is small next to HBM; batches shard at assembly time via
+        ``constrain_batch`` in the trainers' cache steps)."""
         raw_parts, tgt_parts, phon_parts, text_parts = [], [], [], []
         feat_len, raw_off, tgt_off, tgt_len = [], [], [], []
         text_off, text_len, session_id, silent = [], [], [], []
@@ -71,7 +83,7 @@ class DeviceCorpus:
             text = np.asarray(e["text_int"], np.int32)
             assert phon.shape[0] == tgt.shape[0], \
                 "phonemes must follow the target timeline"
-            raw_parts.append(raw)
+            raw_parts.append(raw.reshape(-1, 8 * raw.shape[1]))
             tgt_parts.append(tgt)
             phon_parts.append(phon)
             text_parts.append(text)
@@ -84,16 +96,20 @@ class DeviceCorpus:
             session_id.append(int(e["session_ids"][0])
                               if len(e["session_ids"]) else 0)
             silent.append(bool(e["silent"]))
-            r_pos += raw.shape[0]
+            r_pos += raw.shape[0] // 8
             t_pos += tgt.shape[0]
             c_pos += text.shape[0]
 
+        def _with_pad_row(parts, dtype=np.float32):
+            tail = parts[0].shape[1:] if parts else ()
+            return np.concatenate(parts + [np.zeros((1,) + tail, dtype)],
+                                  axis=0)
+
         arrays = CorpusArrays(
-            raw_flat=np.concatenate(raw_parts, axis=0),
-            tgt_flat=np.concatenate(tgt_parts, axis=0),
-            phon_flat=np.concatenate(phon_parts, axis=0),
-            text_flat=np.concatenate(text_parts, axis=0)
-            if c_pos else np.zeros(1, np.int32),
+            raw_frames=_with_pad_row(raw_parts),
+            tgt_flat=_with_pad_row(tgt_parts),
+            phon_flat=_with_pad_row(phon_parts, dtype=np.int32),
+            text_flat=_with_pad_row(text_parts, dtype=np.int32),
             feat_len=np.asarray(feat_len, np.int32),
             raw_off=np.asarray(raw_off, np.int32),
             tgt_off=np.asarray(tgt_off, np.int32),
@@ -103,8 +119,14 @@ class DeviceCorpus:
             session_id=np.asarray(session_id, np.int32),
             silent=np.asarray(silent, bool),
         )
-        put = (partial(jax.device_put, device=device) if device
-               else jax.device_put)
+        if mesh is not None and mesh.devices.size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            put = partial(jax.device_put,
+                          device=NamedSharding(mesh, P()))
+        else:
+            put = (partial(jax.device_put, device=device) if device
+                   else jax.device_put)
         return DeviceCorpus(
             arrays=CorpusArrays(*(put(np.asarray(a)) for a in arrays)),
             num_examples=len(examples),
@@ -158,58 +180,31 @@ def assemble_batch(arrays: CorpusArrays, utt_ids: jnp.ndarray,
     total_feat = jnp.sum(feat_len)
 
     # ---- packed per-frame tensors (N, seq_len, ·) ----------------------
+    # Everything is vectorized row gathers (no sequential copy loops): the
+    # corpus stores raw EMG frame-grouped (64 floats per feature frame), so
+    # one (n_rows, 64) gather builds the packed signal at HBM bandwidth.
     n_rows = n_chunks * seq_len
     pos_f, owner_f = _segment_owner(feat_starts, total_feat, n_rows)
     sess_rows = jnp.where(owner_f >= 0, session[jnp.maximum(owner_f, 0)], 0)
     seg_rows = jnp.where(owner_f >= 0, owner_f + 1, 0)
 
-    # raw signal: contiguous per-utterance blocks — copy with
-    # dynamic slices (row gathers of 8-wide rows are scalar-ish on TPU).
-    # Each utterance writes a fixed-size (8·t_cap, 8) window at its packing
-    # destination; the garbage tail of window u is overwritten by window
-    # u+1 (destinations are exactly contiguous), and the final tail is
-    # masked to zero below.
-    raw_starts = feat_starts * 8
-    total_raw = total_feat * 8
-    n_raw = n_rows * 8
-    raw_win = 8 * t_cap
-    raw_src = jnp.pad(arrays.raw_flat, ((0, raw_win), (0, 0)))
-    raw_buf = jnp.zeros((n_raw + raw_win, arrays.raw_flat.shape[1]),
-                        arrays.raw_flat.dtype)
-
-    def copy_raw(i, buf):
-        block = jax.lax.dynamic_slice(
-            raw_src, (raw_off[i], 0), (raw_win, raw_src.shape[1]))
-        return jax.lax.dynamic_update_slice(buf, block,
-                                            (raw_starts[i], 0))
-
-    raw_buf = jax.lax.fori_loop(0, u, copy_raw, raw_buf)
-    pos_r = jnp.arange(n_raw)
-    raw_rows = jnp.where((pos_r < total_raw)[:, None], raw_buf[:n_raw],
-                         0.0)
+    pad_raw = arrays.raw_frames.shape[0] - 1  # trailing zero row
+    own = jnp.maximum(owner_f, 0)
+    frame_src = raw_off[own] + (pos_f - feat_starts[own])
+    frame_src = jnp.where(owner_f >= 0, frame_src, pad_raw)
+    raw_frames = jnp.take(arrays.raw_frames, frame_src, axis=0,
+                          mode="clip")  # (n_rows, 8·C)
 
     # ---- per-utterance padded views (U, t_cap, ·) -----------------------
     t_range = jnp.arange(t_cap)
     tgt_mask = t_range[None, :] < tgt_len[:, None]
-    tgt_src = jnp.pad(arrays.tgt_flat, ((0, t_cap), (0, 0)))
-    phon_src = jnp.pad(arrays.phon_flat, (0, t_cap))
-
-    def copy_tgt(i, bufs):
-        audio_buf, phon_buf = bufs
-        a = jax.lax.dynamic_slice(tgt_src, (tgt_off[i], 0),
-                                  (t_cap, tgt_src.shape[1]))
-        p = jax.lax.dynamic_slice(phon_src, (tgt_off[i],), (t_cap,))
-        audio_buf = jax.lax.dynamic_update_slice(audio_buf, a[None],
-                                                 (i, 0, 0))
-        phon_buf = jax.lax.dynamic_update_slice(phon_buf, p[None], (i, 0))
-        return audio_buf, phon_buf
-
-    audio0 = jnp.zeros((u, t_cap, arrays.tgt_flat.shape[1]),
-                       arrays.tgt_flat.dtype)
-    phon0 = jnp.zeros((u, t_cap), arrays.phon_flat.dtype)
-    audio, phonemes = jax.lax.fori_loop(0, u, copy_tgt, (audio0, phon0))
-    audio = jnp.where(tgt_mask[:, :, None], audio, 0.0)
-    phonemes = jnp.where(tgt_mask, phonemes, 0)
+    pad_tgt = arrays.tgt_flat.shape[0] - 1
+    tgt_src = jnp.where(tgt_mask, tgt_off[:, None] + t_range[None, :],
+                        pad_tgt)
+    audio = jnp.take(arrays.tgt_flat, tgt_src.reshape(-1), axis=0,
+                     mode="clip").reshape(u, t_cap, -1)
+    phonemes = jnp.take(arrays.phon_flat, tgt_src.reshape(-1),
+                        mode="clip").reshape(u, t_cap)
 
     utt_gather_idx = jnp.minimum(
         feat_starts[:, None] + t_range[None, :], n_rows - 1
@@ -217,21 +212,17 @@ def assemble_batch(arrays: CorpusArrays, utt_ids: jnp.ndarray,
     utt_gather_idx = jnp.where(utt_valid[:, None], utt_gather_idx, 0)
 
     c_range = jnp.arange(text_cap)
-    text_src = jnp.pad(arrays.text_flat, (0, text_cap))
-
-    def copy_text(i, buf):
-        t = jax.lax.dynamic_slice(text_src, (text_off[i],), (text_cap,))
-        return jax.lax.dynamic_update_slice(buf, t[None], (i, 0))
-
-    text = jax.lax.fori_loop(0, u, copy_text,
-                             jnp.zeros((u, text_cap),
-                                       arrays.text_flat.dtype))
     text_mask = c_range[None, :] < text_len[:, None]
+    pad_text = arrays.text_flat.shape[0] - 1
+    text_src = jnp.where(text_mask, text_off[:, None] + c_range[None, :],
+                         pad_text)
+    text = jnp.take(arrays.text_flat, text_src.reshape(-1),
+                    mode="clip").reshape(u, text_cap)
     text = jnp.where(text_mask, text, -1)
 
     return DeviceBatch(
         emg=jnp.zeros((1, 1, feat_dim), jnp.float32),
-        raw_emg=raw_rows.reshape(n_chunks, seq_len * 8, -1),
+        raw_emg=raw_frames.reshape(n_chunks, seq_len * 8, -1),
         session_ids=sess_rows.reshape(n_chunks, seq_len),
         segment_ids=seg_rows.reshape(n_chunks, seq_len),
         utt_gather_idx=utt_gather_idx,

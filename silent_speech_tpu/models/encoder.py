@@ -84,6 +84,9 @@ class EMGEncoder(nn.Module):
     bn_axis_name: Optional[str] = None
     num_sessions: Optional[int] = None  # optional session embedding
     dtype: jnp.dtype = jnp.float32
+    # train-time random raw shift (architecture.py:64-68); disable for
+    # deterministic cross-framework training-parity runs
+    shift_augment: bool = True
 
     @nn.compact
     def __call__(self, x_feat: jnp.ndarray, x_raw: jnp.ndarray,
@@ -95,7 +98,7 @@ class EMGEncoder(nn.Module):
         consumes only the raw signal. x_raw is (B, 8T, 8)."""
         del x_feat
 
-        if train:
+        if train and self.shift_augment:
             # random left-shift 0..7 of the raw signal, one draw per batch
             r = jax.random.randint(self.make_rng("shift"), (), 0, 8)
             t = x_raw.shape[1]

@@ -97,6 +97,30 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def constrain_batch(batch, mesh: Mesh):
+    """``with_sharding_constraint`` twin of :func:`shard_batch` for use
+    INSIDE jit: anchors the on-device-assembled batch to data-sharding so
+    GSPMD partitions the downstream forward/backward, replicating arrays
+    whose leading dim is not divisible by the axis."""
+    dp = mesh.shape["data"]
+
+    def constrain(v):
+        ok = v.ndim > 0 and v.shape[0] % dp == 0
+        spec = P("data") if ok else P()
+        return jax.lax.with_sharding_constraint(
+            v, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(constrain, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """device_put a pytree fully replicated over the mesh (the corpus
+    cache: every device holds the flat arrays, batches shard on gather)."""
+    s = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda v: jax.device_put(np.asarray(v), s), tree)
+
+
 def shard_batch(batch, mesh: Mesh, leading_axis: int = 0):
     """device_put a DeviceBatch with leading dims sharded over 'data'.
 

@@ -67,6 +67,7 @@ class RecognitionTrainer:
             dim_feedforward=cfg.model.dim_feedforward,
             dropout=cfg.model.dropout,
             max_dist=cfg.model.relative_positional_distance,
+            shift_augment=cfg.model.shift_augment,
             dtype=dtype)
         self.tx = make_adamw(weight_decay=cfg.recognition.l2,
                              grad_accum=cfg.recognition.grad_accum)
@@ -133,6 +134,10 @@ class RecognitionTrainer:
                        lr):
             batch = assemble_batch(arrays, utt_ids, utt_valid,
                                    **self._cache_caps())
+            if self.mesh.devices.size > 1:
+                from ..parallel.mesh import constrain_batch
+
+                batch = constrain_batch(batch, self.mesh)
             state = state.replace(
                 opt_state=set_learning_rate(state.opt_state, lr))
             step_rng = jax.random.fold_in(rng, state.step)
@@ -299,14 +304,14 @@ class RecognitionTrainer:
                              start_epoch, global_step)
 
         corpus = None
-        if (self.cfg.data.device_cache and self.cfg.data.fixed_shapes
-                and self.mesh.devices.size == 1):
+        if self.cfg.data.device_cache and self.cfg.data.fixed_shapes:
             from ..data.device_cache import DeviceCorpus
 
             logging.info("building HBM corpus cache (%d examples)",
                          len(trainset))
             corpus = DeviceCorpus.build(
-                [trainset[i] for i in range(len(trainset))])
+                [trainset[i] for i in range(len(trainset))],
+                mesh=self.mesh)
 
         for epoch in range(start_epoch, epochs):
             losses = []

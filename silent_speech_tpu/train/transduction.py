@@ -72,12 +72,14 @@ class TransductionTrainer:
             dropout=cfg.model.dropout,
             max_dist=cfg.model.relative_positional_distance,
             bn_axis_name=None,  # BN sync handled by GSPMD data sharding
+            shift_augment=cfg.model.shift_augment,
             dtype=dtype)
         self.tx = make_adamw(weight_decay=cfg.transduction.l2)
         self.state: Optional[TrainState] = None
         self._train_step = self._build_train_step()
         self._wave_step = self._build_wave_step()
         self._cache_step = self._build_cache_step()
+        self._cache_scan_step = None  # built on first cache_scan_ids use
         self._eval_step = self._build_eval_step()
         self._forward = self._build_forward()
 
@@ -179,6 +181,10 @@ class TransductionTrainer:
                        lr, n_silent):
             batch = assemble_batch(arrays, utt_ids, utt_valid,
                                    **self._cache_caps())
+            if self.mesh.devices.size > 1:
+                from ..parallel.mesh import constrain_batch
+
+                batch = constrain_batch(batch, self.mesh)
             state = state.replace(
                 opt_state=set_learning_rate(state.opt_state, lr))
             step_rng = jax.random.fold_in(rng, state.step)
@@ -203,6 +209,97 @@ class TransductionTrainer:
         return jax.jit(cache_step, donate_argnums=(0,),
                        static_argnums=(6,))
 
+    def _build_cache_scan_step(self):
+        """W train steps per dispatch: ``lax.scan`` over a (W, U) id wave
+        against the HBM corpus. Python-level dispatch through a
+        remote-attached device costs tens of ms per call (docs/ROUND1.md);
+        scanning W steps inside ONE jit amortizes it to D/W. The scan
+        carries the donated train state; per-step host traffic is W·(U+1)
+        scalars."""
+        from ..data.device_cache import assemble_batch
+
+        w_loss = self.cfg.transduction.phoneme_loss_weight
+
+        def scan_step(state: TrainState, arrays, utt_ids_w, utt_valid_w,
+                      rng, lrs, n_silent):
+            def body(state, xs):
+                utt_ids, utt_valid, lr = xs
+                batch = assemble_batch(arrays, utt_ids, utt_valid,
+                                       **self._cache_caps())
+                if self.mesh.devices.size > 1:
+                    from ..parallel.mesh import constrain_batch
+
+                    batch = constrain_batch(batch, self.mesh)
+                state = state.replace(
+                    opt_state=set_learning_rate(state.opt_state, lr))
+                step_rng = jax.random.fold_in(rng, state.step)
+                shift_rng, dropout_rng = jax.random.split(step_rng)
+
+                def loss_fn(params):
+                    (pred, phone), mutated = self._apply(
+                        params, state.batch_stats, batch, train=True,
+                        rngs={"shift": shift_rng,
+                              "dropout": dropout_rng},
+                        mutable=True)
+                    out = transduction_loss(pred, phone, batch, w_loss,
+                                            n_silent=n_silent)
+                    return out.loss, (mutated["batch_stats"], out)
+
+                (loss, (bs, out)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+                state = state.apply_gradients(grads, new_batch_stats=bs)
+                return state, {"loss": loss,
+                               "correct": out.correct_phones,
+                               "total": out.total_length}
+
+            return jax.lax.scan(body, state,
+                                (utt_ids_w, utt_valid_w, lrs))
+
+        return jax.jit(scan_step, donate_argnums=(0,),
+                       static_argnums=(6,))
+
+    def _cache_guard_ok(self, corpus, ids: List[int], caps, u_cap) -> bool:
+        """True when a batch fits the static assembly caps."""
+        return not (
+            len(ids) > u_cap
+            or int(corpus.feat_len_host[ids].sum())
+            > caps["n_chunks"] * caps["seq_len"]
+            or int(corpus.feat_len_host[ids].max(initial=0))
+            > caps["t_cap"]
+            or int(corpus.tgt_len_host[ids].max(initial=0))
+            > caps["t_cap"]
+            or int(corpus.text_len_host[ids].max(initial=0))
+            > caps["text_cap"])
+
+    def cache_scan_ids(self, corpus, id_lists: List[List[int]], rng,
+                       lrs: List[float]):
+        """Run ``len(id_lists)`` cached-corpus steps in ONE dispatch.
+        Returns stacked metrics, or None if any batch exceeds the caps
+        (callers fall back to per-batch steps)."""
+        caps = self._cache_caps()
+        u_cap = _round_up(self.cfg.data.utt_cap, self.mesh.shape["data"])
+        w = len(id_lists)
+        utt_ids = np.zeros((w, u_cap), np.int32)
+        valid = np.zeros((w, u_cap), bool)
+        n_silent = 0
+        for j, ids in enumerate(id_lists):
+            ids = corpus.order_silent_first(ids)
+            if not self._cache_guard_ok(corpus, ids, caps, u_cap):
+                return None
+            n_sil = sum(1 for i in ids if corpus.silent_mask[i])
+            n_silent = max(n_silent,
+                           min(-(-max(n_sil, 0) // 4) * 4, u_cap)
+                           if n_sil else 0)
+            utt_ids[j, : len(ids)] = ids
+            valid[j, : len(ids)] = True
+        if self._cache_scan_step is None:
+            self._cache_scan_step = self._build_cache_scan_step()
+        self.state, metrics = self._cache_scan_step(
+            self.state, corpus.arrays, utt_ids, valid,
+            jax.random.PRNGKey(0) if rng is None else rng,
+            np.asarray(lrs, np.float32), n_silent)
+        return metrics
+
     def cache_step_ids(self, corpus, ids: List[int], rng, lr: float):
         """Run one cached-corpus step for the given utterance indices;
         returns metrics (or None if the batch exceeds the static caps)."""
@@ -210,15 +307,7 @@ class TransductionTrainer:
         u_cap = _round_up(self.cfg.data.utt_cap, self.mesh.shape["data"])
         ids = corpus.order_silent_first(ids)
         # static-cap guards: oversized batches fall back to the host path
-        if (len(ids) > u_cap
-                or int(corpus.feat_len_host[ids].sum())
-                > caps["n_chunks"] * caps["seq_len"]
-                or int(corpus.feat_len_host[ids].max(initial=0))
-                > caps["t_cap"]
-                or int(corpus.tgt_len_host[ids].max(initial=0))
-                > caps["t_cap"]
-                or int(corpus.text_len_host[ids].max(initial=0))
-                > caps["text_cap"]):
+        if not self._cache_guard_ok(corpus, ids, caps, u_cap):
             return None
         n_sil = sum(1 for i in ids if corpus.silent_mask[i])
         n_silent = min(-(-max(n_sil, 0) // 4) * 4, u_cap) if n_sil else 0
@@ -372,14 +461,14 @@ class TransductionTrainer:
             if self.cfg.data.fixed_shapes else 1
 
         corpus = None
-        if (self.cfg.data.device_cache and self.cfg.data.fixed_shapes
-                and self.mesh.devices.size == 1):
+        if self.cfg.data.device_cache and self.cfg.data.fixed_shapes:
             from ..data.device_cache import DeviceCorpus
 
             logging.info("building HBM corpus cache (%d examples)",
                          len(trainset))
             corpus = DeviceCorpus.build(
-                [trainset[i] for i in range(len(trainset))])
+                [trainset[i] for i in range(len(trainset))],
+                mesh=self.mesh)
 
         for epoch in range(start_epoch, epochs):
             losses = []
@@ -402,7 +491,28 @@ class TransductionTrainer:
                               cfg.learning_rate_warmup) * plateau.scale)
 
             if corpus is not None:
-                for idx_batch in batch_iter:
+                scan_w = max(1, wave_size)
+                id_batches = list(batch_iter)
+                pos = 0
+                while pos < len(id_batches):
+                    group = id_batches[pos: pos + scan_w]
+                    metrics = None
+                    # only full waves scan (a short tail would recompile)
+                    if len(group) == scan_w and scan_w > 1:
+                        lrs = [warmup_lr(global_step + j,
+                                         cfg.learning_rate,
+                                         cfg.learning_rate_warmup)
+                               * plateau.scale
+                               for j in range(len(group))]
+                        metrics = self.cache_scan_ids(corpus, group, rng,
+                                                      lrs)
+                    if metrics is not None:  # W steps in one dispatch
+                        losses.extend(metrics["loss"])
+                        global_step += len(group)
+                        n_steps += len(group)
+                        pos += len(group)
+                        continue
+                    idx_batch = group[0]
                     metrics = self.cache_step_ids(corpus, idx_batch, rng,
                                                   lr_now())
                     if metrics is None:  # over static caps → host path
@@ -414,6 +524,7 @@ class TransductionTrainer:
                     losses.append(metrics["loss"])
                     global_step += 1
                     n_steps += 1
+                    pos += 1
                 current = []
             else:
                 current = take_wave()

@@ -179,3 +179,53 @@ def test_fixed_shape_packing_single_signature(trainset):
                     chunk_bucket=2, utt_bucket=4, fixed_chunks=2,
                     fixed_utts=4, fixed_t=256)
     assert b3.emg.shape[0] >= 2
+
+
+def test_asset_generator_clis(tmp_path):
+    """make_testset.py + make_normalizers.py produce working assets from a
+    bare corpus (VERDICT round-1 item 8; reference read_emg.py:151-154,
+    298-309)."""
+    import subprocess
+    import sys
+
+    from silent_speech_tpu.data.synthetic import generate_corpus
+    from silent_speech_tpu.data.dataset import EMGDataset
+
+    root = str(tmp_path / "assets_corpus")
+    c = generate_corpus(root, n_voiced_sessions=1, n_silent_sessions=1,
+                        utterances_per_session=6, seed=7)
+    testset = str(tmp_path / "split.json")
+    normalizers = str(tmp_path / "norm.pkl")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    common = [
+        "--silent_data_directories", ",".join(c.silent_data_directories),
+        "--voiced_data_directories", ",".join(c.voiced_data_directories),
+        "--text_align_directory", c.text_align_directory,
+    ]
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "make_testset.py"), *common,
+         "--testset_file", testset, "--dev_size", "2", "--test_size", "1"],
+        capture_output=True, text=True, cwd=repo, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    split = json.load(open(testset))
+    assert len(split["dev"]) == 2 and len(split["test"]) == 1
+    assert all(isinstance(b, str) and isinstance(i, int)
+               for b, i in split["dev"] + split["test"])
+
+    env = dict(os.environ)
+    env["SSTPU_FORCE_PLATFORM"] = "cpu:1"
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "make_normalizers.py"),
+         *common, "--testset_file", testset,
+         "--normalizers_file", normalizers],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # the generated assets drive a real dataset load
+    cfg = c
+    cfg.testset_file = testset
+    cfg.normalizers_file = normalizers
+    ds = EMGDataset(cfg, dev=True)
+    assert len(ds) > 0
+    ex = ds[0]
+    assert ex["emg"].shape[1] == 112

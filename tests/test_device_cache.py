@@ -125,3 +125,132 @@ def test_cache_step_matches_host_step(examples):
     _, m_host = trainer._train_step(trainer.state, db, rng,
                                     np.float32(1e-3), batch.num_silent)
     assert loss_cache == pytest.approx(float(m_host["loss"]), rel=1e-4)
+
+
+def test_cache_step_multidevice_matches_single(examples):
+    """The cached-corpus train step on a 4x2 mesh (replicated corpus,
+    data-sharded assembled batch) matches the 1-device cache step
+    (VERDICT round-1 item 5)."""
+    from silent_speech_tpu.config import Config
+    from silent_speech_tpu.parallel.mesh import make_mesh
+    from silent_speech_tpu.train.transduction import TransductionTrainer
+
+    def run(mesh):
+        cfg = Config()
+        cfg.model.model_size = 64
+        cfg.model.num_layers = 2
+        cfg.model.dim_feedforward = 128
+        cfg.model.dropout = 0.0
+        cfg.model.compute_dtype = "float32"
+        cfg.data.seq_len = 40
+        cfg.data.t_cap = 128
+        cfg.data.utt_cap = 8
+        cfg.data.chunk_bucket = 4
+        cfg.transduction.max_batch_len = int(8 * 40 * 6 / 0.51679)
+        trainer = TransductionTrainer(cfg, mesh=mesh)
+        corpus = DeviceCorpus.build(examples, mesh=mesh)
+        trainer.init_state(trainer._pack(examples), seed=0)
+        rng = jax.random.PRNGKey(0)
+        losses = []
+        for _ in range(2):  # two steps: state update must shard too
+            m = trainer.cache_step_ids(corpus,
+                                       list(range(len(examples))), rng,
+                                       1e-3)
+            assert m is not None
+            losses.append(float(m["loss"]))
+        return losses
+
+    single = run(make_mesh(1, 1, devices=jax.devices()[:1]))
+    multi = run(make_mesh(4, 2))
+    np.testing.assert_allclose(multi, single, rtol=2e-4)
+
+
+def test_recognition_cache_step_multidevice(examples):
+    """CTC cache step on a 4x2 mesh matches 1-device (VERDICT item 6)."""
+    from silent_speech_tpu.config import Config
+    from silent_speech_tpu.parallel.mesh import make_mesh
+    from silent_speech_tpu.train.recognition import RecognitionTrainer
+
+    def run(mesh):
+        cfg = Config()
+        cfg.model.model_size = 64
+        cfg.model.num_layers = 2
+        cfg.model.dim_feedforward = 128
+        cfg.model.dropout = 0.0
+        cfg.model.compute_dtype = "float32"
+        cfg.data.seq_len = 40
+        cfg.data.t_cap = 128
+        cfg.data.utt_cap = 8
+        cfg.data.chunk_bucket = 4
+        cfg.recognition.max_batch_len = int(8 * 40 * 6 / 0.51679)
+        trainer = RecognitionTrainer(cfg, mesh=mesh)
+        corpus = DeviceCorpus.build(examples, mesh=mesh)
+        trainer.init_state(trainer._pack(examples), seed=0)
+        rng = jax.random.PRNGKey(0)
+        losses = []
+        for _ in range(2):
+            m = trainer.cache_step_ids(corpus,
+                                       list(range(len(examples))), rng,
+                                       1e-3)
+            assert m is not None
+            losses.append(float(m["loss"]))
+        return losses
+
+    single = run(make_mesh(1, 1, devices=jax.devices()[:1]))
+    multi = run(make_mesh(4, 2))
+    np.testing.assert_allclose(multi, single, rtol=2e-4)
+
+
+def test_cache_scan_matches_sequential_steps(examples):
+    """W scanned steps in one dispatch == W sequential cache steps."""
+    from silent_speech_tpu.config import Config
+    from silent_speech_tpu.parallel.mesh import make_mesh
+    from silent_speech_tpu.train.transduction import TransductionTrainer
+
+    def cfg_():
+        cfg = Config()
+        cfg.model.model_size = 64
+        cfg.model.num_layers = 2
+        cfg.model.dim_feedforward = 128
+        cfg.model.dropout = 0.0
+        # rbg PRNG bits are not stable across different compiled
+        # executables (scan vs non-scan), so the random shift must be off
+        # for a bit-parity comparison
+        cfg.model.shift_augment = False
+        cfg.model.compute_dtype = "float32"
+        cfg.data.seq_len = 40
+        cfg.data.t_cap = 128
+        cfg.data.utt_cap = 8
+        cfg.transduction.max_batch_len = int(8 * 40 * 6 / 0.51679)
+        return cfg
+
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    # 4 steps: loss k+1 observes the params written by step k, so loss
+    # agreement across all steps validates the full update chain
+    id_lists = [[0, 1, 2], [2, 3, 4], [0, 3, 4], [1, 2, 4]]
+    lrs = [1e-3, 9e-4, 8e-4, 7e-4]
+
+    trainer = TransductionTrainer(cfg_(), mesh=mesh)
+    # after trainer init: the trainer selects the rbg PRNG impl, and raw
+    # PRNGKey width follows the impl active at creation time
+    rng = jax.random.PRNGKey(0)
+    corpus = DeviceCorpus.build(examples)
+    trainer.init_state(trainer._pack(examples), seed=0)
+    seq_losses = []
+    for ids, lr in zip(id_lists, lrs):
+        m = trainer.cache_step_ids(corpus, ids, rng, lr)
+        assert m is not None
+        seq_losses.append(float(m["loss"]))
+
+    trainer2 = TransductionTrainer(cfg_(), mesh=mesh)
+    trainer2.init_state(trainer2._pack(examples), seed=0)
+    m = trainer2.cache_scan_ids(corpus, id_lists, rng, lrs)
+    assert m is not None
+    scan_losses = [float(l) for l in m["loss"]]
+
+    # n_silent bucketing can differ (scan uses the wave max), but the loss
+    # is silent-masked, so trajectories must agree to float tolerance.
+    # (Raw param equality is NOT asserted: for near-zero-grad params Adam
+    # amplifies compilation-level reassociation noise into lr-sized update
+    # flips with no observable loss effect.)
+    np.testing.assert_allclose(scan_losses, seq_losses, rtol=1e-5)

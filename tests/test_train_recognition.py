@@ -101,3 +101,55 @@ def test_batched_logits_match_single(corpus, tmp_path):
     w_b = trainer.evaluate_wer(devset, beam=False, batched=True)
     w_s = trainer.evaluate_wer(devset, beam=False, batched=False)
     assert w_b == pytest.approx(w_s, abs=1e-9)
+
+
+def test_multidevice_recognition_step_eval_and_restore(corpus, tmp_path):
+    """VERDICT round-1 item 6: 4x2-mesh CTC train step with single-device
+    loss parity, sharded evaluate_wer, and checkpoint save->restore->step
+    on the mesh."""
+    from silent_speech_tpu.train.checkpoint import (
+        save_checkpoint, restore_checkpoint)
+
+    trainset = EMGDataset(corpus, dev=False, test=False)
+    devset = EMGDataset(corpus, dev=True)
+    cfg = _cfg(corpus, str(tmp_path / "md_out"))
+
+    def one_step(mesh, trainer, batches):
+        trainer.init_state(batches[0], seed=0)
+        rng = jax.random.PRNGKey(0)
+        db = shard_batch(batches[0].device_batch(), mesh)
+        trainer.state, m = trainer._train_step(trainer.state, db, rng,
+                                               np.float32(3e-4))
+        return float(m["loss"])
+
+    from silent_speech_tpu.data.sampler import SizeAwareSampler
+
+    mesh = make_mesh(4, 2)
+    trainer = RecognitionTrainer(cfg, mesh=mesh)
+    sampler = SizeAwareSampler(trainset, cfg.recognition.max_batch_len,
+                               seed=0)
+    batches = [trainer._pack([trainset[i] for i in b]) for b in sampler]
+    loss_md = one_step(mesh, trainer, batches)
+
+    mesh1 = make_mesh(1, 1, devices=jax.devices()[:1])
+    trainer1 = RecognitionTrainer(cfg, mesh=mesh1)
+    loss_1 = one_step(mesh1, trainer1, batches)
+    assert loss_md == pytest.approx(loss_1, rel=2e-4)
+
+    # sharded eval: WER must be finite and match the 1-device value
+    wer_md = trainer.evaluate_wer(devset, beam=False)
+    wer_1 = trainer1.evaluate_wer(devset, beam=False)
+    assert wer_md == pytest.approx(wer_1, abs=1e-9)
+
+    # checkpoint on the mesh -> restore -> another step runs
+    save_checkpoint(cfg.recognition.output_directory, trainer.state,
+                    extra={"epoch": 1})
+    restored, extra = restore_checkpoint(
+        cfg.recognition.output_directory, trainer.state, with_extra=True)
+    assert extra["epoch"] == 1
+    trainer.state = restored
+    db = shard_batch(batches[0].device_batch(), mesh)
+    trainer.state, m = trainer._train_step(trainer.state, db,
+                                           jax.random.PRNGKey(1),
+                                           np.float32(3e-4))
+    assert np.isfinite(float(m["loss"]))
