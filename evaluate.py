@@ -12,27 +12,27 @@ import os
 import sys
 
 
-def _load_trainer(cfg, path, example_batch):
+def _load_state(trainer, path):
+    """(params, batch_stats) from a reference ``model.pt`` or an orbax run
+    directory, loaded through ONE shared trainer (no per-checkpoint model
+    objects or extra jit traces)."""
     from silent_speech_tpu.train.checkpoint import (
         load_reference_checkpoint, load_params_into_state,
         restore_checkpoint, checkpoint_exists,
     )
-    from silent_speech_tpu.train.transduction import TransductionTrainer
 
-    trainer = TransductionTrainer(cfg)
-    trainer.init_state(example_batch, seed=0)
     if os.path.isdir(path):
         if checkpoint_exists(path):   # run dir containing 'checkpoint'
-            trainer.state = restore_checkpoint(path, trainer.state)
+            state = restore_checkpoint(path, trainer.state)
         else:                          # path IS the orbax checkpoint dir
-            trainer.state = restore_checkpoint(
+            state = restore_checkpoint(
                 os.path.dirname(path), trainer.state,
                 name=os.path.basename(path))
     else:
         params, stats = load_reference_checkpoint(
-            path, num_layers=cfg.model.num_layers)
-        trainer.state = load_params_into_state(trainer.state, params, stats)
-    return trainer
+            path, num_layers=trainer.cfg.model.num_layers)
+        state = load_params_into_state(trainer.state, params, stats)
+    return state.params, state.batch_stats
 
 
 def main():
@@ -51,15 +51,15 @@ def main():
     dev = flags.FLAGS.dev
     testset = EMGDataset(cfg.data, dev=dev, test=not dev)
 
-    # materialize trainers (each init needs one packed example batch)
+    # one trainer, one init; N checkpoints load into stacked param sets
     from silent_speech_tpu.train.transduction import TransductionTrainer
 
-    probe_trainer = TransductionTrainer(cfg)
-    batch = probe_trainer._pack([testset[0]])
-    trainers = [_load_trainer(cfg, f, batch) for f in flags.FLAGS.models]
-    assert trainers, 'pass at least one --models checkpoint'
+    trainer = TransductionTrainer(cfg)
+    trainer.init_state(trainer._pack([testset[0]]), seed=0)
+    states = [_load_state(trainer, f) for f in flags.FLAGS.models]
+    assert states, 'pass at least one --models checkpoint'
 
-    ensemble = EnsemblePredictor(trainers)
+    ensemble = EnsemblePredictor(base=trainer, states=states)
     loss, acc, confusion = ensemble.evaluate(testset)
     logging.info('loss: %.4f phoneme accuracy: %.2f', loss, acc * 100)
     print_confusion(confusion)

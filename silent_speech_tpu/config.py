@@ -36,6 +36,10 @@ class ModelConfig:
     # train-time random raw-signal shift (architecture.py:64-68); off for
     # deterministic cross-framework parity runs
     shift_augment: bool = True
+    # rematerialize transformer layers in the backward pass: trades ~33%
+    # recompute FLOPs for the per-layer residual HBM traffic — a win when
+    # effective bandwidth, not the MXU, bounds the step
+    remat_layers: bool = False
 
 
 @dataclass

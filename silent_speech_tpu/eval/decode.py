@@ -148,6 +148,7 @@ def beam_ctc_decode(log_probs: np.ndarray, charset: str, blank_id: int,
                               beta)
     if native is not None:
         return native
+    _warn_python_fallback_once()
 
     def lm_word_bonus(words: Tuple[str, ...], word: str) -> float:
         if lm is None or not word:
@@ -213,6 +214,30 @@ def beam_ctc_decode(log_probs: np.ndarray, charset: str, blank_id: int,
 
     best = max(beams.items(), key=final_score)
     return list(best[0])
+
+
+_WARNED_FALLBACK = False
+
+
+def _warn_python_fallback_once() -> None:
+    """The C++ decoder is ~50× the Python fallback at beam_width=100; a
+    silently missing ``libssp_native.so`` would turn per-epoch validation
+    into minutes — say so once. (KenLM-binary LMs intentionally use the
+    Python path; no warning for those.)"""
+    global _WARNED_FALLBACK
+    if _WARNED_FALLBACK:
+        return
+    _WARNED_FALLBACK = True
+    import logging
+
+    from ..utils import native
+
+    if native.get_lib() is None:
+        logging.warning(
+            "native beam decoder unavailable (libssp_native.so not "
+            "built) — falling back to the pure-Python prefix beam "
+            "search, which is dramatically slower at realistic beam "
+            "widths. Build it with `make -C cpp`.")
 
 
 def _try_native_beam(lp, charset, blank_id, beam_width, lm, alpha, beta):

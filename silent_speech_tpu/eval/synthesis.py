@@ -34,26 +34,58 @@ class EnsemblePredictor:
     (models are identical architecture, distinct weights).
     """
 
-    def __init__(self, trainers: Sequence):
-        assert trainers, "need at least one model"
-        self.trainers = list(trainers)
+    def __init__(self, trainers: Sequence = None, *, base=None,
+                 states: Sequence = None):
+        """Either from N trainers, or from ONE base trainer plus a list of
+        (params, batch_stats) pairs (the cheap path: one model object, one
+        init, N weight loads)."""
+        if trainers:
+            base = trainers[0]
+            states = [(t.state.params, t.state.batch_stats)
+                      for t in trainers]
+        assert base is not None and states, "need at least one model"
+        self.base = base
+        self.states = list(states)
         self._eval_step = None
+        self._predict_fn = None
+        self._stacked = None
 
     def predict(self, example: dict) -> np.ndarray:
-        preds = [t.predict(example) for t in self.trainers]
-        return np.mean(preds, axis=0)
+        """Mean-of-heads mel prediction via ONE compiled vmapped forward
+        over stacked params (N separate compiles would cost N traces
+        through the ~40 s remote compiler)."""
+        import jax
+
+        base = self.base
+        if self._predict_fn is None:
+            def fwd(ps, ss, emg, raw, sess, seg):
+                def one(p, s):
+                    return base.model.apply(
+                        {"params": p, "batch_stats": s}, emg, raw, sess,
+                        segment_ids=seg, train=False)
+
+                preds, _ = jax.vmap(one)(ps, ss)
+                return preds.mean(0)
+
+            self._predict_fn = jax.jit(fwd)
+        params_s, stats_s = self._stacked_variables()
+        emg, raw, sess, seg, t = base.pad_single(example)
+        pred = self._predict_fn(params_s, stats_s, emg, raw, sess, seg)
+        return np.asarray(pred)[0, :t]
 
     def _stacked_variables(self):
         import jax
         import jax.numpy as jnp
 
-        params = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs),
-            *[t.state.params for t in self.trainers])
-        stats = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs),
-            *[t.state.batch_stats for t in self.trainers])
-        return params, stats
+        if self._stacked is None:
+            params = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[p for p, _ in self.states])
+            stats = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[s_ for _, s_ in self.states])
+            self._stacked = (params, stats)
+        return self._stacked
 
     def evaluate(self, dataset, batch_size: int = 32):
         """Ensemble validation loss / phoneme accuracy / confusion: both
@@ -65,7 +97,7 @@ class EnsemblePredictor:
         from ..phonemes import NUM_PHONES
         from ..train.losses import transduction_loss
 
-        base = self.trainers[0]
+        base = self.base
         w = base.cfg.transduction.phoneme_loss_weight
 
         if self._eval_step is None:

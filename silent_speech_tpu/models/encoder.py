@@ -87,6 +87,9 @@ class EMGEncoder(nn.Module):
     # train-time random raw shift (architecture.py:64-68); disable for
     # deterministic cross-framework training-parity runs
     shift_augment: bool = True
+    # checkpoint each transformer layer (recompute in bwd instead of
+    # saving residuals — wins when HBM bandwidth bounds the step)
+    remat_layers: bool = False
 
     @nn.compact
     def __call__(self, x_feat: jnp.ndarray, x_raw: jnp.ndarray,
@@ -118,12 +121,22 @@ class EMGEncoder(nn.Module):
                            name="session_embed")(session_ids)
             h = h + emb
 
+        run_layer = None
+        if self.remat_layers:
+            # bind the static/bool kwargs via closure: only the activation
+            # flows through the checkpoint boundary
+            run_layer = nn.remat(
+                lambda mdl, x: mdl(x, segment_ids=segment_ids,
+                                   deterministic=not train),
+                policy=jax.checkpoint_policies.nothing_saveable)
         for i in range(self.num_layers):
-            h = TransformerEncoderLayer(
+            layer = TransformerEncoderLayer(
                 d_model=self.model_size, n_head=self.num_heads,
                 dim_feedforward=self.dim_feedforward, dropout=self.dropout,
-                max_dist=self.max_dist, dtype=self.dtype, name=f"layer{i}",
-            )(h, segment_ids=segment_ids, deterministic=not train)
+                max_dist=self.max_dist, dtype=self.dtype, name=f"layer{i}")
+            h = (run_layer(layer, h) if run_layer is not None
+                 else layer(h, segment_ids=segment_ids,
+                            deterministic=not train))
 
         out = nn.Dense(self.num_outs, dtype=jnp.float32, name="w_out")(h)
         if self.num_aux_outs is not None:

@@ -29,6 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..ops.dropout import RegenDropout
+
 NEG_INF = -1e8  # matches the reference's out-of-range logit offset
 
 
@@ -167,7 +169,7 @@ class RelativePositionalAttention(nn.Module):
         # first, so bf16 is safe here and saves two f32 materializations of
         # the (B, H, T, T) tensor
         probs = jax.nn.softmax(logits, axis=-1)
-        probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
+        probs = RegenDropout(self.dropout)(probs, deterministic=deterministic)
         o = jnp.einsum("bhqk,bhka->bhqa", probs, v)
         out = jnp.einsum("bhta,haf->btf", o, w_o.astype(cdt))
         return out.astype(x.dtype)
@@ -192,15 +194,15 @@ class TransformerEncoderLayer(nn.Module):
             d_model=self.d_model, n_head=self.n_head, dropout=self.dropout,
             max_dist=self.max_dist, dtype=self.dtype, name="self_attn",
         )(x, segment_ids=segment_ids, deterministic=deterministic)
-        x = x + nn.Dropout(self.dropout)(attn_out,
+        x = x + RegenDropout(self.dropout)(attn_out,
                                          deterministic=deterministic)
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
 
         h = nn.Dense(self.dim_feedforward, dtype=self.dtype,
                      name="linear1")(x)
         h = nn.relu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = RegenDropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
-        x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        x = x + RegenDropout(self.dropout)(h, deterministic=deterministic)
         x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         return x

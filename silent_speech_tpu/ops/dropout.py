@@ -1,0 +1,71 @@
+"""Regenerating dropout: zero mask traffic between forward and backward.
+
+Standard dropout in one jitted train step materializes its keep-mask to HBM
+as a forward→backward residual (XLA will not duplicate RngBitGenerator
+ops). At this model's scale that is ~890M mask elements per step, and
+measured effective HBM bandwidth through the remote-attached v5e makes
+those round-trips ~20+ ms/step. This op instead REGENERATES the identical
+mask in the backward pass from the same PRNG key (XLA's RngBitGenerator is
+a pure function of the key), so the mask fuses into its single consumer on
+each side and never touches HBM.
+
+Masks use 8-bit random words (a quarter of the bits of
+``jax.random.bernoulli``'s uint32 draw); the keep probability is quantized
+to 1/256 — for a train-time regularizer the ≤0.2% rate shift is
+immaterial (the reference's dropout pattern is arbitrary RNG anyway,
+``transformer.py:48-58``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _mask_scale(x: jnp.ndarray, key, drop_threshold: int) -> jnp.ndarray:
+    """x * keep_mask / keep_prob with an in-graph regenerable mask."""
+    bits = jax.random.bits(key, x.shape, jnp.uint8)
+    keep = bits >= drop_threshold
+    scale = 1.0 / (1.0 - drop_threshold / 256.0)
+    return jnp.where(keep, x * jnp.asarray(scale, x.dtype),
+                     jnp.zeros((), x.dtype))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def regen_dropout(x: jnp.ndarray, key, drop_threshold: int) -> jnp.ndarray:
+    return _mask_scale(x, key, drop_threshold)
+
+
+def _fwd(x, key, drop_threshold):
+    return _mask_scale(x, key, drop_threshold), key
+
+
+def _bwd(drop_threshold, key, g):
+    # identical bits from the identical key: the mask is recomputed, not
+    # loaded — the custom_vjp exists precisely to keep it out of HBM
+    return _mask_scale(g, key, drop_threshold), None
+
+
+regen_dropout.defvjp(_fwd, _bwd)
+
+
+def dropout_threshold(rate: float) -> int:
+    """Quantize a dropout rate to the uint8 threshold (drop iff bits < t)."""
+    return int(round(rate * 256.0))
+
+
+class RegenDropout(nn.Module):
+    """Drop-in replacement for ``nn.Dropout`` backed by regen_dropout."""
+
+    rate: float
+    rng_collection: str = "dropout"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        t = dropout_threshold(self.rate)
+        if deterministic or t == 0:
+            return x
+        return regen_dropout(x, self.make_rng(self.rng_collection), t)

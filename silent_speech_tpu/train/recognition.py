@@ -68,6 +68,7 @@ class RecognitionTrainer:
             dropout=cfg.model.dropout,
             max_dist=cfg.model.relative_positional_distance,
             shift_augment=cfg.model.shift_augment,
+            remat_layers=cfg.model.remat_layers,
             dtype=dtype)
         self.tx = make_adamw(weight_decay=cfg.recognition.l2,
                              grad_accum=cfg.recognition.grad_accum)

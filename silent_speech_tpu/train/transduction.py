@@ -73,6 +73,7 @@ class TransductionTrainer:
             max_dist=cfg.model.relative_positional_distance,
             bn_axis_name=None,  # BN sync handled by GSPMD data sharding
             shift_augment=cfg.model.shift_augment,
+            remat_layers=cfg.model.remat_layers,
             dtype=dtype)
         self.tx = make_adamw(weight_decay=cfg.transduction.l2)
         self.state: Optional[TrainState] = None
@@ -644,11 +645,10 @@ class TransductionTrainer:
         return mean_loss, acc, confusion
 
     # ---------------- inference ---------------------------------------
-    def predict(self, example: dict) -> np.ndarray:
-        """(T, 80) normalized mel prediction for one utterance. Padding is
-        masked out of attention, so the result equals a solo unpadded
-        forward (the reference's inference setting)."""
-        assert self.state is not None
+    @staticmethod
+    def pad_single(example: dict):
+        """Bucket-padded (emg, raw, sess, seg, t) arrays for a solo
+        utterance forward (padding masked out of attention)."""
         t = example["emg"].shape[0]
         t_pad = _round_up(max(t, 8), 32)
         emg = np.zeros((1, t_pad, example["emg"].shape[1]), np.float32)
@@ -660,6 +660,14 @@ class TransductionTrainer:
         sess[0, :t] = example["session_ids"]
         seg = np.zeros((1, t_pad), np.int32)
         seg[0, :t] = 1
+        return emg, raw, sess, seg, t
+
+    def predict(self, example: dict) -> np.ndarray:
+        """(T, 80) normalized mel prediction for one utterance. Padding is
+        masked out of attention, so the result equals a solo unpadded
+        forward (the reference's inference setting)."""
+        assert self.state is not None
+        emg, raw, sess, seg, t = self.pad_single(example)
         pred, _ = self._forward(self.state.params, self.state.batch_stats,
                                 emg, raw, sess, seg)
         return np.asarray(pred)[0, :t]

@@ -119,3 +119,26 @@ def test_beam_lm_steers_ambiguous_decode(lm):
                               alpha=1.5, beta=1.85)
     assert "".join(CHARS[i] for i in no_lm) == "the caq"
     assert "".join(CHARS[i] for i in with_lm) == "the cat"
+
+
+def test_python_fallback_warns_once(monkeypatch, caplog):
+    """A missing native decoder must be loud (VERDICT round-1 item 10):
+    per-epoch beam validation is ~50x slower on the Python path."""
+    import logging as _logging
+
+    import silent_speech_tpu.eval.decode as dec
+    from silent_speech_tpu.utils import native
+
+    monkeypatch.setattr(native, "get_lib", lambda: None)
+    monkeypatch.setattr(dec, "_WARNED_FALLBACK", False)
+    lp = np.log(np.full((4, 38), 1e-6))
+    lp[:, 0] = np.log(0.9)
+    with caplog.at_level(_logging.WARNING):
+        beam_ctc_decode(lp, CHARS + "x" * (38 - len(CHARS) - 1), 37,
+                        beam_width=4)
+    assert any("libssp_native" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(_logging.WARNING):
+        beam_ctc_decode(lp, CHARS + "x" * (38 - len(CHARS) - 1), 37,
+                        beam_width=4)
+    assert not any("libssp_native" in r.message for r in caplog.records)
