@@ -64,6 +64,12 @@ def main():
     logging.info('loss: %.4f phoneme accuracy: %.2f', loss, acc * 100)
     print_confusion(confusion)
 
+    if cfg.vocoder.hifigan_checkpoint is None:
+        logging.warning(
+            'no --hifigan_checkpoint: skipping wav synthesis and the ASR '
+            'WER judge (reference evaluate.py:59-64 requires a vocoder)')
+        return
+
     from silent_speech_tpu.models.hifigan import Vocoder
     from silent_speech_tpu.utils.audio_io import write_wav
 

@@ -74,3 +74,12 @@ class Book:
 
     def done(self) -> bool:
         return self.position >= len(self.sentences)
+
+    # context-manager form (reference ``read_book.py``: the bookmark is
+    # written on session exit too, so interrupted sessions resume)
+    def __enter__(self) -> "Book":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        with open(self.bookmark_file, "w") as f:
+            f.write(str(self.position))

@@ -151,6 +151,75 @@ class SyntheticMicrophone:
         return (0.01 * self._rng.normal(size=n)).astype(np.float32)
 
 
+class LiveScope:
+    """Rolling matplotlib scope of the audio + 8 EMG channels with an RMS
+    readout (reference ``record_data.py:100-130``). Optional dependency;
+    degrades to a plain sleep when matplotlib is unavailable."""
+
+    COLORS = ["grey", "mediumpurple", "blue", "green", "yellow", "orange",
+              "red", "sienna"]
+
+    def __init__(self, recorder, window_seconds: float = 4.0):
+        self.recorder = recorder
+        try:
+            import matplotlib.pyplot as plt
+        except ImportError:
+            logging.warning("matplotlib unavailable — live scope disabled")
+            self._plt = None
+            return
+        self._plt = plt
+        w = int(window_seconds * recorder.emg_rate)
+        aw = int(window_seconds * recorder.microphone.sampling_rate)
+        self._w, self._aw = w, aw
+        plt.ion()
+        self._fig, (a_ax, e_ax) = plt.subplots(2)
+        a_ax.axis((0, aw, -1, 1))
+        e_ax.axis((0, w, -300, 300))
+        self._a_line, = a_ax.plot(np.zeros(aw))
+        self._e_lines = e_ax.plot(np.zeros((w, EMG_CHANNELS)))
+        for line, c in zip(self._e_lines, self.COLORS):
+            line.set_color(c)
+        self._text = e_ax.text(50, -250, "RMS: 0")
+        for ax in (a_ax, e_ax):
+            ax.set_yticks([0])
+            ax.yaxis.grid(True)
+            ax.tick_params(bottom=False, top=False, labelbottom=False,
+                           right=False, left=False, labelleft=False)
+        self._fig.tight_layout(pad=0)
+
+    @staticmethod
+    def _last_window(chunks, n, width):
+        flat = (np.concatenate(chunks, axis=0) if chunks
+                else np.zeros((0, width) if width > 1 else 0))
+        flat = flat[-n:]
+        pad = n - flat.shape[0]
+        if pad > 0:
+            shape = (pad, width) if width > 1 else (pad,)
+            flat = np.concatenate([np.zeros(shape, flat.dtype), flat],
+                                  axis=0)
+        return flat
+
+    def tick(self) -> None:
+        if self._plt is None:
+            time.sleep(0.005)
+            return
+        a = self._last_window(self.recorder._audio_chunks, self._aw, 1)
+        self._a_line.set_ydata(a)
+        e = self._last_window(self.recorder._emg_chunks, self._w,
+                              EMG_CHANNELS)
+        for col, line in enumerate(self._e_lines):
+            line.set_ydata(e[:, col])
+        rate = self.recorder.emg_rate
+        self._text.set_text(
+            f"RMS: {e[-rate * 2: -rate // 2].std():.1f}")
+        self._plt.gcf().canvas.draw_idle()
+        self._plt.gcf().canvas.start_event_loop(0.005)
+
+    def close(self) -> None:
+        if self._plt is not None:
+            self._plt.close(self._fig)
+
+
 class Recorder:
     """Pumps EMG + audio streams for one utterance at a time.
 
@@ -160,7 +229,8 @@ class Recorder:
     the EMG rows.
     """
 
-    def __init__(self, debug: bool = True, board=None, microphone=None):
+    def __init__(self, debug: bool = True, board=None, microphone=None,
+                 display: bool = False):
         if board is None:
             board = SyntheticBoard() if debug else BrainFlowBoard()
         if microphone is None:
@@ -168,6 +238,65 @@ class Recorder:
         self.board = board
         self.microphone = microphone
         self.emg_rate = board.sampling_rate
+        self._emg_chunks: List[np.ndarray] = []
+        self._audio_chunks: List[np.ndarray] = []
+        self._button_chunks: List[np.ndarray] = []
+        self._scope = LiveScope(self) if display else None
+
+    # ---- streaming session (reference record_data.py:132-170) ---------
+    def __enter__(self) -> "Recorder":
+        self.board.start_stream()
+        self.microphone.start_stream()
+        self._emg_chunks, self._audio_chunks, self._button_chunks = \
+            [], [], []
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.microphone.stop_stream()
+        self.board.stop_stream()
+        if self._scope is not None:
+            self._scope.close()
+
+    def update(self) -> None:
+        """Pump both streams once. Chunk boundaries are the per-update
+        reads, recorded so ``info['chunks']`` matches the reference's
+        (emg_len, audio_len, button_len) tuples
+        (``record_data.py:139-170``)."""
+        if self._scope is not None:
+            self._scope.tick()
+        else:
+            time.sleep(0.005)
+        audio = self.microphone.get_audio()
+        if audio.shape[0] == 0:
+            return
+        self._audio_chunks.append(audio)
+        data = self.board.get_board_data()
+        emg = data[:EMG_CHANNELS].T
+        button = (data[EMG_CHANNELS].astype(bool)
+                  if data.shape[0] > EMG_CHANNELS
+                  else np.zeros(emg.shape[0], bool))
+        self._emg_chunks.append(emg)
+        self._button_chunks.append(button)
+        if button.any():
+            logging.info("button pressed")
+
+    def get_data(self):
+        """(emg (T,8), audio (A,), button (T,), chunk_sizes) accumulated
+        since the last call; clears the accumulators
+        (``record_data.py:163-170``)."""
+        emg = (np.concatenate(self._emg_chunks, axis=0)
+               if self._emg_chunks else np.zeros((0, EMG_CHANNELS)))
+        audio = (np.concatenate(self._audio_chunks)
+                 if self._audio_chunks else np.zeros(0, np.float32))
+        button = (np.concatenate(self._button_chunks)
+                  if self._button_chunks else np.zeros(0, bool))
+        chunk_sizes = [
+            (e.shape[0], a.shape[0], b.shape[0])
+            for e, a, b in zip(self._emg_chunks, self._audio_chunks,
+                               self._button_chunks)]
+        self._emg_chunks, self._audio_chunks, self._button_chunks = \
+            [], [], []
+        return emg, audio, button, chunk_sizes
 
     def record(self, seconds: float
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

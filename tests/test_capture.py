@@ -117,3 +117,91 @@ def test_clean_session(tmp_path):
                                               f"{i}_audio_clean.flac"))
         assert rate == 22050
         assert np.abs(audio).max() <= 1.0
+
+
+def test_streaming_recorder_chunks():
+    """Context-managed streaming: update() accumulates per-pump chunks;
+    get_data() returns-and-clears with matching chunk_info (reference
+    record_data.py:132-170)."""
+    import time
+
+    from silent_speech_tpu.capture.recorder import Recorder
+
+    with Recorder(debug=True) as r:
+        for _ in range(10):
+            time.sleep(0.01)
+            r.update()
+        emg, audio, button, chunks = r.get_data()
+        assert emg.shape[1] == 8
+        assert emg.shape[0] > 0 and audio.shape[0] > 0
+        assert button.dtype == bool and button.shape[0] == emg.shape[0]
+        assert sum(c[0] for c in chunks) == emg.shape[0]
+        assert sum(c[1] for c in chunks) == audio.shape[0]
+        # cleared after get_data
+        emg2, audio2, _, chunks2 = r.get_data()
+        assert emg2.shape[0] == 0 and not chunks2
+
+
+def test_reading_session_protocol(tmp_path):
+    """The full reference key protocol: begin -> n (silence idx0) ->
+    n (sentence) -> r (restart: 2 edge-silence segments) -> n -> q
+    (record_reading.py:64-123)."""
+    import json as _json
+    import time
+
+    import numpy as np
+
+    from silent_speech_tpu.capture.book import Book
+    from silent_speech_tpu.capture.recorder import Recorder
+    from silent_speech_tpu.capture.session import ReadingSession
+
+    bf = tmp_path / "book.txt"
+    bf.write_text("First sentence here. Second sentence here. "
+                  "Third sentence here.")
+    out = str(tmp_path / "session")
+
+    def pump(r, n=8):
+        for _ in range(n):
+            time.sleep(0.012)
+            r.update()
+
+    with Recorder(debug=True) as r, Book(str(bf)) as book:
+        s = ReadingSession(r, book, out)
+        assert s.current_prompt() == "<Press any key to begin.>"
+        pump(r)
+        s.handle_key("x")          # begin
+        assert s.recording and s.current_prompt() == "<silence>"
+        pump(r)
+        s.handle_key("n")          # idx0: leading silence
+        assert s.current_prompt() == "First sentence here."
+        pump(r)
+        s.handle_key(" ")          # idx1: first sentence
+        assert s.current_prompt() == "Second sentence here."
+        pump(r, 80)                # need >=500 EMG samples for edges
+        s.handle_key("r")          # idx2+idx3: edge silences, re-prompt
+        assert s.current_prompt() == "Second sentence here."
+        pump(r)
+        s.handle_key("n")          # idx4: second sentence
+        pump(r, 80)
+        s.handle_key("q")          # idx5: trailing silence, stop
+        assert s.done
+
+    def info(i):
+        return _json.load(open(os.path.join(out, f"{i}_info.json")))
+
+    # schema + semantics of each segment
+    assert info(0) == {"book": "", "sentence_index": -1, "text": "",
+                       "chunks": info(0)["chunks"]}
+    assert info(1)["text"] == "First sentence here."
+    assert info(1)["book"] == "book"
+    assert info(2)["sentence_index"] == -1  # restart edge silences
+    assert info(3)["sentence_index"] == -1
+    assert info(4)["text"] == "Second sentence here."
+    assert info(4)["sentence_index"] == 1
+    assert info(5)["sentence_index"] == -1
+    # multi-chunk streaming recording (the round-1 gap):
+    assert len(info(1)["chunks"]) > 1
+    emg1 = np.load(os.path.join(out, "1_emg.npy"))
+    assert emg1.shape[0] == sum(c[0] for c in info(1)["chunks"])
+    # restart did not advance the book; bookmark persisted on exit
+    assert open(str(bf) + ".bookmark").read() == "2"
