@@ -40,6 +40,8 @@ class ModelConfig:
     # recompute FLOPs for the per-layer residual HBM traffic — a win when
     # effective bandwidth, not the MXU, bounds the step
     remat_layers: bool = False
+    # fused Pallas attention kernel (ops/pallas/rel_attention.py)
+    fused_attention: bool = True
 
 
 @dataclass

@@ -53,14 +53,22 @@ class DeepSpeechASR:
 
 
 class TransformersASR:
-    """HF CTC ASR fallback judge (not comparable to published WER)."""
+    """HF CTC ASR fallback judge (not comparable to published WER).
+
+    Pass ``model``/``processor`` objects to run fully offline (any
+    ``*ForCTC`` + processor pair); otherwise they are fetched by name.
+    """
 
     def __init__(self, model_name: str = "facebook/wav2vec2-base-960h",
-                 device: str = "cpu"):
-        from transformers import AutoModelForCTC, AutoProcessor
+                 device: str = "cpu", model=None, processor=None):
+        if model is None or processor is None:
+            from transformers import AutoModelForCTC, AutoProcessor
 
-        self.processor = AutoProcessor.from_pretrained(model_name)
-        self.model = AutoModelForCTC.from_pretrained(model_name).to(device)
+            processor = processor or AutoProcessor.from_pretrained(
+                model_name)
+            model = model or AutoModelForCTC.from_pretrained(model_name)
+        self.processor = processor
+        self.model = model.to(device)
         self.device = device
 
     def transcribe(self, audio: np.ndarray, rate: int) -> str:

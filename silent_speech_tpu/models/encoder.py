@@ -90,6 +90,8 @@ class EMGEncoder(nn.Module):
     # checkpoint each transformer layer (recompute in bwd instead of
     # saving residuals — wins when HBM bandwidth bounds the step)
     remat_layers: bool = False
+    # fused Pallas rel-attention kernel (non-segment-masked calls)
+    fused_attention: bool = True
 
     @nn.compact
     def __call__(self, x_feat: jnp.ndarray, x_raw: jnp.ndarray,
@@ -133,7 +135,8 @@ class EMGEncoder(nn.Module):
             layer = TransformerEncoderLayer(
                 d_model=self.model_size, n_head=self.num_heads,
                 dim_feedforward=self.dim_feedforward, dropout=self.dropout,
-                max_dist=self.max_dist, dtype=self.dtype, name=f"layer{i}")
+                max_dist=self.max_dist, dtype=self.dtype,
+                fused=self.fused_attention, name=f"layer{i}")
             h = (run_layer(layer, h) if run_layer is not None
                  else layer(h, segment_ids=segment_ids,
                             deterministic=not train))

@@ -34,6 +34,15 @@ from ..ops.dropout import RegenDropout
 NEG_INF = -1e8  # matches the reference's out-of-range logit offset
 
 
+def _key_seed(key) -> jnp.ndarray:
+    """(1,) int32 seed from a (typed or raw) PRNG key."""
+    try:
+        data = jax.random.key_data(key)
+    except TypeError:
+        data = key
+    return data.reshape(-1)[-1:].astype(jnp.int32)
+
+
 def relative_position_index(q_len: int, k_len: int, max_dist: int
                             ) -> tuple[np.ndarray, np.ndarray]:
     """Static (q_len, k_len) index map into a (2*max_dist-1,) embedding table.
@@ -122,6 +131,10 @@ class RelativePositionalAttention(nn.Module):
     dropout: float = 0.1
     max_dist: int = 100
     dtype: jnp.dtype = jnp.float32
+    # fused Pallas kernel for the attention core (QK^T + rel bias +
+    # softmax + probs-dropout + PV in VMEM); the XLA path remains for
+    # segment-masked (packed-eval) calls and as the fallback
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *,
@@ -149,6 +162,21 @@ class RelativePositionalAttention(nn.Module):
         q = jnp.einsum("btd,hda->bhta", xc, w_q.astype(cdt))
         k = jnp.einsum("btd,hda->bhta", xc, w_k.astype(cdt))
         v = jnp.einsum("btd,hda->bhta", xc, w_v.astype(cdt))
+
+        if self.fused and segment_ids is None:
+            from ..ops.pallas.rel_attention import fused_rel_attention
+            from ..ops.dropout import dropout_threshold
+
+            thresh = 0
+            seed = jnp.zeros((1,), jnp.int32)
+            if not deterministic and self.dropout > 0:
+                thresh = int(round(self.dropout * 2.0 ** 32)) & 0xFFFFFFFF
+                seed = _key_seed(self.make_rng("dropout"))
+            o = fused_rel_attention(q, k, v, rel_emb.astype(cdt), seed,
+                                    self.max_dist, thresh)
+            out = jnp.einsum("bhta,haf->btf", o.astype(cdt),
+                             w_o.astype(cdt))
+            return out.astype(x.dtype)
 
         logits = jnp.einsum("bhqa,bhka->bhqk", q, k) / jnp.asarray(
             d_head ** 0.5, cdt)
@@ -185,6 +213,7 @@ class TransformerEncoderLayer(nn.Module):
     dropout: float = 0.1
     max_dist: int = 100
     dtype: jnp.dtype = jnp.float32
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *,
@@ -192,7 +221,8 @@ class TransformerEncoderLayer(nn.Module):
                  deterministic: bool = True) -> jnp.ndarray:
         attn_out = RelativePositionalAttention(
             d_model=self.d_model, n_head=self.n_head, dropout=self.dropout,
-            max_dist=self.max_dist, dtype=self.dtype, name="self_attn",
+            max_dist=self.max_dist, dtype=self.dtype, fused=self.fused,
+            name="self_attn",
         )(x, segment_ids=segment_ids, deterministic=deterministic)
         x = x + RegenDropout(self.dropout)(attn_out,
                                          deterministic=deterministic)

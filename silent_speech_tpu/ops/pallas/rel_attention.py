@@ -1,0 +1,340 @@
+"""Fused relative-position attention (Pallas TPU kernel).
+
+Computes, per batch-chunk grid cell (all heads in-cell), entirely in
+VMEM:
+
+    S = Q K^T / sqrt(d)  +  skew(Q E_h^T)  [+ padding mask]
+    P = dropout(softmax(S))
+    O = P V
+
+replacing the XLA path's chain of materialized (B, H, T, T) tensors
+(rel2abs one-hot matmul, OOR mask add, softmax, dropout mask, probs).
+
+Design notes (all perf-load-bearing):
+
+- **One grid cell per chunk, heads unrolled in-kernel**: the per-cell
+  Pallas overhead is amortized 8x vs a (H, B) grid, and the rel table
+  block is resident across the whole grid (constant index map).
+- **Fused [E | K] contraction**: per head one (T, d)x(d, W+W) MXU op
+  produces both the relative and the content logits, with E first so
+  both slices land on 128-lane boundaries.
+- **Rows pad to the sublane tile (16), not the lane tile (128)**: T=200
+  runs as 208 query rows, not 256 — only the lane (key) axis needs the
+  128 multiple. Saves ~23% of every in-kernel op.
+- **Every matmul keeps its operands in the input dtype** (bf16 in
+  training): f32 operands run the MXU at a fraction of its bf16 rate,
+  which dominated the backward pass in the first version of this
+  kernel. Accumulation stays f32 via preferred_element_type.
+- The relative→absolute "skew" is a **barrel shifter**: row q of the
+  width-W rel-logit block rotates by (q−(m−1)) mod W in log2(W)
+  constant-shift ``pltpu.roll`` stages, each applied only to rows whose
+  rotation amount has that bit set. (Mosaic's native strided
+  ``tpu.dynamic_rotate`` refuses any vreg whose 8 row shifts cross a
+  multiple of the 128-lane width, which a 256-row stride-1 rotation
+  always does — so the barrel shifter is the general lowering.)
+  Out-of-window positions may read aliased values — a post-roll
+  |k−q| ≤ m−1 mask overwrites them with the reference's −1e8 OOR logit
+  (``transformer.py:255-261``), so aliasing is harmless and W stays at
+  max(T, 2m−1) rounded to the lane width (256 for the training shape,
+  not 512).
+- Backward is flash-style recompute (``custom_vjp``): S and P are
+  rebuilt in-kernel (the dropout mask regenerates from the same
+  per-(chunk, head) PRNG seed), then dV, dS, dQ, dK and the rel-table
+  gradient dE (accumulated across the sequential batch grid axis) are
+  emitted. The unskew is the inverse barrel roll. Nothing quadratic
+  ever touches HBM.
+
+Aliasing safety for the unskew: a wrapped read lands ≥ W−(m−1) ≥ m
+columns away from the diagonal (W ≥ 2m−1 by construction), where dS is
+exactly zero (softmax of the −1e8 OOR logit), so no mask is needed
+beyond the existing 2m−1 column guard.
+
+Reference semantics: ``transformer.py:96-111``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e8  # the reference's out-of-range logit
+
+
+def _round_up(t: int, mult: int) -> int:
+    return max(mult, -(-t // mult) * mult)
+
+
+def _roll_rows(x: jnp.ndarray, shift: int, stride: int) -> jnp.ndarray:
+    """Right-rotate row q of ``x`` (R, W) by (shift + stride·q) mod W."""
+    w = x.shape[-1]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    amount = (shift + stride * row) % w
+    bit = 1
+    while bit < w:
+        rolled = pltpu.roll(x, bit, 1)
+        x = jnp.where((amount & bit) != 0, rolled, x)
+        bit <<= 1
+    return x
+
+
+def _skew(r: jnp.ndarray, m: int) -> jnp.ndarray:
+    """(T, W) rel-coordinate logits → (T, W) absolute logits:
+    out[q, k] = r[q, (k−q+m−1) mod W] (junk beyond the window; callers
+    mask |k−q| > m−1)."""
+    w = r.shape[-1]
+    return _roll_rows(r, (w - m + 1) % w, 1)
+
+
+def _unskew(ds: jnp.ndarray, m: int) -> jnp.ndarray:
+    """(T, W) absolute-coordinate grads → rel coordinates:
+    out[q, d] = ds[q, (q+d−(m−1)) mod W]."""
+    w = ds.shape[-1]
+    return _roll_rows(ds, (m - 1) % w, w - 1)
+
+
+def _cell_valid(t_pad: int, w: int, m: int, t_real: int) -> jnp.ndarray:
+    """(T, W) in-window & in-range mask — shared by every head."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (t_pad, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (t_pad, w), 1)
+    off = col - row
+    return (off >= 1 - m) & (off <= m - 1) & (col < t_real)
+
+
+def _probs(q, ke, valid, h, b, seed_ref, *, scale, m, w, n_heads,
+           drop_threshold):
+    """(p_soft, p_post) for one (chunk, head).
+
+    q: (T, d) input dtype; ke: (2W, d) = [E | K] rows; valid: (T, W).
+    p_soft/p_post are f32.
+    """
+    s_all = jax.lax.dot_general(
+        q, ke, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (T, 2W)
+    # rolls stay f32: Mosaic's rotate has no 16-bit lowering
+    s = jnp.where(valid, s_all[:, w:] * scale + _skew(s_all[:, :w], m),
+                  NEG)
+
+    smax = jnp.max(s, axis=-1, keepdims=True)
+    ex = jnp.exp(s - smax)
+    p_soft = ex / jnp.sum(ex, axis=-1, keepdims=True)
+
+    if drop_threshold == 0:
+        return p_soft, p_soft
+    cell_seed = seed_ref[0] + b * n_heads + h
+    if _use_interpret():
+        # the CPU interpreters stub the TPU PRNG (zeros); a hash mixer
+        # keeps the semantics (deterministic per seed, uniform) testable
+        bits = _hash_bits(p_soft.shape, cell_seed.astype(jnp.uint32))
+    else:
+        pltpu.prng_seed(cell_seed)
+        bits = pltpu.bitcast(pltpu.prng_random_bits(p_soft.shape),
+                             jnp.uint32)
+    keep = bits >= np.uint32(drop_threshold)
+    inv_keep = 1.0 / (1.0 - drop_threshold / 2.0 ** 32)
+    p_post = jnp.where(keep, p_soft * inv_keep, 0.0)
+    return p_soft, p_post
+
+
+def _hash_bits(shape, seed: jnp.ndarray) -> jnp.ndarray:
+    """Deterministic uint32 mixer over (row, col, seed) — interpret-mode
+    stand-in for the hardware PRNG (murmur3-style finalizer)."""
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    x = (r * np.uint32(0x9E3779B1)) ^ (c * np.uint32(0x85EBCA77)) ^ seed
+    x = x ^ (x >> 16)
+    x = x * np.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * np.uint32(0x846CA68B)
+    return x ^ (x >> 16)
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, e_ref, o_ref,
+                *, scale, m, t_real, w, n_heads, drop_threshold):
+    b = pl.program_id(0)
+    t_pad = q_ref.shape[2]
+    valid = _cell_valid(t_pad, w, m, t_real)
+    for h in range(n_heads):
+        ke = jnp.concatenate([e_ref[h], k_ref[0, h]], axis=0)
+        _, p = _probs(q_ref[0, h], ke, valid, h, b, seed_ref,
+                      scale=scale, m=m, w=w, n_heads=n_heads,
+                      drop_threshold=drop_threshold)
+        o_ref[0, h] = jax.lax.dot(
+            p.astype(v_ref.dtype), v_ref[0, h],
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, e_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, de_ref,
+                *, scale, m, t_real, w, n_heads, drop_threshold):
+    b = pl.program_id(0)
+    t_pad = q_ref.shape[2]
+    valid = _cell_valid(t_pad, w, m, t_real)
+
+    @pl.when(b == 0)
+    def _():
+        de_ref[...] = jnp.zeros(de_ref.shape, de_ref.dtype)
+
+    for h in range(n_heads):
+        q = q_ref[0, h]
+        cd = q.dtype
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        e = e_ref[h]
+        do = do_ref[0, h]
+        ke = jnp.concatenate([e, k], axis=0)                 # (2W, d)
+
+        p_soft, p_post = _probs(q, ke, valid, h, b, seed_ref,
+                                scale=scale, m=m, w=w, n_heads=n_heads,
+                                drop_threshold=drop_threshold)
+        pc = p_post.astype(cd)
+
+        dv_ref[0, h] = jax.lax.dot_general(
+            pc, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (T, W)
+
+        # y = drop(softmax(s)): ds = p_post⊙dp − p_soft·Σ_k(p_post⊙dp)
+        prod = p_post * dp
+        ds = prod - p_soft * jnp.sum(prod, axis=-1, keepdims=True)
+        dsc = ds.astype(cd)
+
+        dr = _unskew(ds, m)  # f32 rolls (no 16-bit rotate lowering)
+        col = jax.lax.broadcasted_iota(jnp.int32, dr.shape, 1)
+        dr = jnp.where(col < 2 * m - 1, dr, 0.0).astype(cd)
+
+        # dQ = dR·E + (scale·dS)K as one fused contraction over [E | K]
+        dr_ds = jnp.concatenate(
+            [dr, (ds * scale).astype(cd)], axis=1)           # (T, 2W)
+        dq_ref[0, h] = jax.lax.dot(
+            dr_ds, ke, preferred_element_type=jnp.float32
+        ).astype(dq_ref.dtype)
+
+        dk_ref[0, h] = (jax.lax.dot_general(
+            dsc, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(
+                dk_ref.dtype)
+
+        de_ref[h] += jax.lax.dot_general(
+            dr, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def _pad_t(x, t_pad):
+    t = x.shape[2]
+    if t == t_pad:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t), (0, 0)))
+
+
+def _pad_rows(x, rows):
+    if x.shape[1] == rows:
+        return x
+    return jnp.pad(x, ((0, 0), (0, rows - x.shape[1]), (0, 0)))
+
+
+def _geometry(t: int, m: int, dtype):
+    # query rows pad to the sublane tile; the key/lane axis W pads to
+    # the 128-lane tile and doubles as the roll width, with W ≥ 2m−1
+    # keeping every in-window skew read un-wrapped and every wrapped
+    # unskew read in the guaranteed-zero OOR region (module docstring)
+    sublane = 16 if dtype in (jnp.bfloat16, np.dtype("bfloat16")) else 8
+    t_pad = _round_up(t, sublane)
+    w = _round_up(max(t_pad, 2 * m - 1), 128)
+    return t_pad, w
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_rel_attention(q, k, v, rel_emb, seed, max_dist, drop_threshold):
+    """``softmax(QK^T/√d + learned rel-position logits) @ V``, fused.
+
+    q, k, v: (B, H, T, d_head); rel_emb: (H, 2·max_dist−1, d_head).
+    ``seed``: int32 scalar/array (traced is fine — vary per step).
+    ``drop_threshold``: static uint32 threshold for in-kernel dropout on
+    the attention probabilities (drop iff random bits < t; 0 = off).
+    """
+    out, _ = _fwd(q, k, v, rel_emb, seed, max_dist, drop_threshold)
+    return out
+
+
+def _prep(q, k, v, rel_emb, seed, max_dist):
+    b, h, t, dh = q.shape
+    t_pad, w = _geometry(t, max_dist, q.dtype)
+    qp = _pad_t(q, t_pad)
+    kp, vp = _pad_t(k, w), _pad_t(v, w)  # key-axis operands at W rows
+    ep = _pad_rows(rel_emb, w)
+    seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+    spec_q = pl.BlockSpec((1, h, t_pad, dh), lambda j, *_: (j, 0, 0, 0))
+    spec_kv = pl.BlockSpec((1, h, w, dh), lambda j, *_: (j, 0, 0, 0))
+    spec_e = pl.BlockSpec((h, w, dh), lambda j, *_: (0, 0, 0))
+    return (b, h, t, dh, t_pad, w, qp, kp, vp, ep, seed_arr,
+            spec_q, spec_kv, spec_e)
+
+
+def _fwd(q, k, v, rel_emb, seed, max_dist, drop_threshold):
+    (b, h, t, dh, t_pad, w, qp, kp, vp, ep, seed_arr,
+     spec_q, spec_kv, spec_e) = _prep(q, k, v, rel_emb, seed, max_dist)
+
+    kernel = functools.partial(
+        _fwd_kernel, scale=1.0 / (dh ** 0.5), m=max_dist, t_real=t,
+        w=w, n_heads=h, drop_threshold=int(drop_threshold))
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=[spec_q, spec_kv, spec_kv, spec_e],
+            out_specs=spec_q,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=_use_interpret(),
+    )(seed_arr, qp, kp, vp, ep)
+    return out[:, :, :t], (q, k, v, rel_emb, seed)
+
+
+def _bwd(max_dist, drop_threshold, res, g):
+    q, k, v, rel_emb, seed = res
+    (b, h, t, dh, t_pad, w, qp, kp, vp, ep, seed_arr,
+     spec_q, spec_kv, spec_e) = _prep(q, k, v, rel_emb, seed, max_dist)
+    gp = _pad_t(g, t_pad)
+
+    kernel = functools.partial(
+        _bwd_kernel, scale=1.0 / (dh ** 0.5), m=max_dist, t_real=t,
+        w=w, n_heads=h, drop_threshold=int(drop_threshold))
+    dq, dk, dv, de = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=[spec_q, spec_kv, spec_kv, spec_e, spec_q],
+            out_specs=[spec_q, spec_kv, spec_kv, spec_e],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, t_pad, dh), q.dtype),
+            jax.ShapeDtypeStruct((b, h, w, dh), k.dtype),
+            jax.ShapeDtypeStruct((b, h, w, dh), v.dtype),
+            jax.ShapeDtypeStruct((h, w, dh), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=_use_interpret(),
+    )(seed_arr, qp, kp, vp, ep, gp)
+    seed_ct = np.zeros(np.shape(seed), jax.dtypes.float0)
+    return (dq[:, :, :t], dk[:, :, :t], dv[:, :, :t],
+            de[:, : 2 * max_dist - 1].astype(rel_emb.dtype), seed_ct)
+
+
+fused_rel_attention.defvjp(_fwd, _bwd)
+
+
+def _use_interpret() -> bool:
+    return jax.devices()[0].platform != "tpu"

@@ -69,6 +69,7 @@ class RecognitionTrainer:
             max_dist=cfg.model.relative_positional_distance,
             shift_augment=cfg.model.shift_augment,
             remat_layers=cfg.model.remat_layers,
+            fused_attention=cfg.model.fused_attention,
             dtype=dtype)
         self.tx = make_adamw(weight_decay=cfg.recognition.l2,
                              grad_accum=cfg.recognition.grad_accum)

@@ -74,6 +74,7 @@ class TransductionTrainer:
             bn_axis_name=None,  # BN sync handled by GSPMD data sharding
             shift_augment=cfg.model.shift_augment,
             remat_layers=cfg.model.remat_layers,
+            fused_attention=cfg.model.fused_attention,
             dtype=dtype)
         self.tx = make_adamw(weight_decay=cfg.transduction.l2)
         self.state: Optional[TrainState] = None

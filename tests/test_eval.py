@@ -110,3 +110,53 @@ def test_asr_interface_gating():
 
     with pytest.raises(ImportError):
         DeepSpeechASR()
+
+
+def test_transformers_asr_end_to_end(tmp_path):
+    """Run the full ASR-judge path (TransformersASR.transcribe +
+    evaluate()) against a tiny randomly-initialized wav2vec2 built
+    offline — exercises resampling, CTC decode, normalization, and the
+    corpus-WER driver (reference ``asr_evaluation.py:12-32``)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    import json
+
+    from silent_speech_tpu.eval.asr import TransformersASR, evaluate
+    from silent_speech_tpu.utils.audio_io import write_wav
+
+    vocab = {c: i for i, c in enumerate(
+        ["<pad>", "<s>", "</s>", "<unk>", "|"]
+        + [chr(ord("a") + i) for i in range(26)])}
+    vocab_file = tmp_path / "vocab.json"
+    vocab_file.write_text(json.dumps(vocab))
+    tok = transformers.Wav2Vec2CTCTokenizer(
+        str(vocab_file), pad_token="<pad>", word_delimiter_token="|")
+    fe = transformers.Wav2Vec2FeatureExtractor(
+        feature_size=1, sampling_rate=16000, padding_value=0.0,
+        do_normalize=True, return_attention_mask=False)
+    processor = transformers.Wav2Vec2Processor(feature_extractor=fe,
+                                               tokenizer=tok)
+    cfg = transformers.Wav2Vec2Config(
+        vocab_size=len(vocab), hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=64,
+        conv_dim=(16, 16), conv_stride=(5, 2), conv_kernel=(10, 3),
+        num_feat_extract_layers=2)
+    torch.manual_seed(0)
+    model = transformers.Wav2Vec2ForCTC(cfg).eval()
+
+    asr = TransformersASR(model=model, processor=processor)
+    rng = np.random.default_rng(0)
+    text = asr.transcribe(rng.normal(size=16000).astype(np.float32) * 0.1,
+                          16000)
+    assert isinstance(text, str)
+    # resample path (22.05 kHz input)
+    text2 = asr.transcribe(
+        rng.normal(size=22050).astype(np.float32) * 0.1, 22050)
+    assert isinstance(text2, str)
+
+    testset = [{"text": "hello world"}, {"text": "second utterance"}]
+    for i in range(len(testset)):
+        write_wav(str(tmp_path / f"example_output_{i}.wav"),
+                  (rng.normal(size=8000) * 0.1).astype(np.float32), 16000)
+    w = evaluate(testset, str(tmp_path), asr=asr)
+    assert 0.0 <= w  # random model: garbage transcripts, valid WER
