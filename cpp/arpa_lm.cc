@@ -129,22 +129,122 @@ struct ArpaLM {
   }
 };
 
+// Word-context ring: ScoreWord truncates to (order-1) context words, so
+// keeping only the last kMaxCtx completed words (interned ids) is exact
+// for any LM of order <= kMaxCtx+1; total_words tells us whether "<s>"
+// is still inside the window.
+constexpr int kMaxCtx = 9;
+
 struct LMBeam {
   double p_blank = kNegInf;
   double p_nonblank = kNegInf;
-  std::vector<std::string> words;  // completed words (context)
-  std::string cur;                 // word in progress
+  uint32_t ctx[kMaxCtx];  // last completed word ids, oldest first
+  int32_t n_ctx = 0;      // valid entries in ctx
+  int32_t total_words = 0;
+  // the word in progress is NOT stored: it is derivable from the prefix
+  // trie (chars since the last space), so beams stay POD — no string
+  // allocation on the ~beam*K extension path
   double Total() const { return LogSumExp2(p_blank, p_nonblank); }
+  void CopyCtx(const LMBeam& src) {
+    std::memcpy(ctx, src.ctx, sizeof(ctx));
+    n_ctx = src.n_ctx;
+    total_words = src.total_words;
+  }
+  void PushWord(uint32_t id) {
+    if (n_ctx == kMaxCtx) {
+      std::memmove(ctx, ctx + 1, (kMaxCtx - 1) * sizeof(uint32_t));
+      ctx[kMaxCtx - 1] = id;
+    } else {
+      ctx[n_ctx++] = id;
+    }
+    total_words++;
+  }
 };
 
-struct VecHashLM {
-  size_t operator()(const std::vector<int32_t>& v) const {
-    size_t h = 1469598103934665603ull;
-    for (int32_t x : v) {
-      h ^= static_cast<size_t>(x) + 0x9e3779b97f4a7c15ull + (h << 6)
-           + (h >> 2);
+// Prefix interning (see ctc_beam.cc): beams keyed by trie-node ids, O(1)
+// extension instead of per-step prefix copies + full-vector hashing.
+// Insert-only open-addressing map (uint64 key -> int32), ~4x faster than
+// std::unordered_map in this access pattern (linear probe, pow2 size).
+struct FlatMap {
+  std::vector<uint64_t> keys;   // 0 = empty (stored keys are key+1)
+  std::vector<int32_t> vals;
+  size_t mask = 0, count = 0;
+  FlatMap() { Rehash(1 << 13); }
+  void Rehash(size_t cap) {
+    std::vector<uint64_t> ok = std::move(keys);
+    std::vector<int32_t> ov = std::move(vals);
+    keys.assign(cap, 0);
+    vals.assign(cap, -1);
+    mask = cap - 1;
+    count = 0;
+    for (size_t i = 0; i < ok.size(); i++) {
+      if (ok[i]) InsertRaw(ok[i], ov[i]);
     }
-    return h;
+  }
+  void InsertRaw(uint64_t k1, int32_t v) {
+    size_t h = (k1 * 0x9e3779b97f4a7c15ull) & mask;
+    while (keys[h]) h = (h + 1) & mask;
+    keys[h] = k1;
+    vals[h] = v;
+    count++;
+  }
+  // returns existing value or -1; claims the slot for insert via ref
+  int32_t* Probe(uint64_t key) {
+    if (count * 10 >= (mask + 1) * 7) Rehash((mask + 1) * 2);
+    uint64_t k1 = key + 1;
+    size_t h = (k1 * 0x9e3779b97f4a7c15ull) & mask;
+    while (keys[h] && keys[h] != k1) h = (h + 1) & mask;
+    if (!keys[h]) {
+      keys[h] = k1;
+      count++;
+      vals[h] = -1;
+    }
+    return &vals[h];
+  }
+};
+
+struct SlotTableLM {
+  std::vector<uint32_t> epoch_;
+  std::vector<int32_t> idx_;
+  uint32_t epoch = 0;
+  void NextEpoch() { epoch++; }
+  int32_t Get(size_t node) {
+    if (node >= epoch_.size()) {
+      epoch_.resize(node + 1024, 0);
+      idx_.resize(node + 1024, -1);
+    }
+    return epoch_[node] == epoch ? idx_[node] : -1;
+  }
+  void Put(size_t node, int32_t idx) {
+    epoch_[node] = epoch;
+    idx_[node] = idx;
+  }
+};
+
+struct PrefixTrieLM {
+  struct Node { int32_t parent; int32_t sym; };
+  std::vector<Node> nodes{{-1, -1}};
+  FlatMap child;
+  int32_t K;
+  explicit PrefixTrieLM(int32_t k) : K(k) {}
+  int32_t Extend(int32_t node, int32_t sym) {
+    uint64_t key = static_cast<uint64_t>(node) * K + sym;
+    int32_t* v = child.Probe(key);
+    if (*v >= 0) return *v;
+    int32_t id = static_cast<int32_t>(nodes.size());
+    nodes.push_back({node, sym});
+    *v = id;
+    return id;
+  }
+  int32_t Sym(int32_t n) const { return nodes[n].sym; }
+  std::vector<int32_t> Materialize(int32_t n) const {
+    std::vector<int32_t> out;
+    while (n > 0) {
+      out.push_back(nodes[n].sym);
+      n = nodes[n].parent;
+    }
+    std::reverse(out.begin(), out.end());
+    return out;
   }
 };
 
@@ -185,20 +285,62 @@ int32_t ssp_ctc_beam_decode_lm(int64_t handle, const double* log_probs,
     if (chars[i] == ' ') space_id = (int32_t)i;
   }
 
-  auto word_bonus = [&](const std::vector<std::string>& words,
-                        const std::string& cur) -> double {
+  PrefixTrieLM trie(K);
+
+  // the word in progress at a node: chars back to the last space
+  auto cur_word = [&](int32_t node) -> std::string {
+    std::string w;
+    while (node > 0 && trie.Sym(node) != space_id) {
+      w += chars[trie.Sym(node)];
+      node = trie.nodes[node].parent;
+    }
+    std::reverse(w.begin(), w.end());
+    return w;
+  };
+
+  // completed-word interning (ids in LMBeam's context ring)
+  std::vector<std::string> word_tab;
+  std::unordered_map<std::string, uint32_t> word_ids;
+  auto intern = [&](const std::string& w) -> uint32_t {
+    auto it = word_ids.find(w);
+    if (it != word_ids.end()) return it->second;
+    uint32_t id = (uint32_t)word_tab.size();
+    word_tab.push_back(w);
+    word_ids.emplace(w, id);
+    return id;
+  };
+
+  auto word_bonus = [&](const LMBeam& beam, int32_t node) -> double {
+    std::string cur = cur_word(node);
     if (cur.empty()) return 0.0;
     if (lm == nullptr) return beta;
     std::vector<std::string> ctx;
-    ctx.push_back("<s>");
-    for (const auto& w : words) ctx.push_back(w);
+    if (beam.total_words == beam.n_ctx) ctx.push_back("<s>");
+    for (int32_t i = 0; i < beam.n_ctx; i++)
+      ctx.push_back(word_tab[beam.ctx[i]]);
     return alpha * lm->ScoreWord(ctx, cur) + beta;
   };
 
-  using BeamMap = std::unordered_map<std::vector<int32_t>, LMBeam,
-                                     VecHashLM>;
-  BeamMap beams;
-  beams[{}] = LMBeam{0.0, kNegInf, {}, ""};
+  struct Entry { int32_t node; LMBeam beam; };
+  std::vector<Entry> beams(1);
+  beams[0].node = 0;
+  beams[0].beam.p_blank = 0.0;
+  std::vector<Entry> next;
+  SlotTableLM slots;
+  std::vector<std::pair<double, int32_t>> scored;
+
+  // claim next-beam for `node`, seeding LM context from `src` on first
+  // touch (merging beams share the prefix, hence identical context)
+  auto claim = [&](int32_t node, const LMBeam& src) -> LMBeam& {
+    int32_t idx = slots.Get(node);
+    if (idx < 0) {
+      idx = (int32_t)next.size();
+      next.push_back({node, LMBeam{}});
+      next[idx].beam.CopyCtx(src);
+      slots.Put(node, idx);
+    }
+    return next[idx].beam;
+  };
 
   std::vector<int32_t> cand;
   for (int32_t t = 0; t < T; t++) {
@@ -210,85 +352,80 @@ int32_t ssp_ctc_beam_decode_lm(int64_t handle, const double* log_probs,
       if (frame[s] >= fmax + prune_logp) cand.push_back(s);
     }
 
-    BeamMap next;
-    for (const auto& [prefix, beam] : beams) {
+    slots.NextEpoch();
+    next.clear();
+    for (const auto& entry : beams) {
+      const int32_t node = entry.node;
+      const LMBeam& beam = entry.beam;
       double p_total = beam.Total();
-      int32_t last = prefix.empty() ? -1 : prefix.back();
+      int32_t last = trie.Sym(node);
       for (int32_t s : cand) {
         double p = frame[s];
         if (s == blank) {
-          auto& nb = next[prefix];
-          if (nb.p_blank == kNegInf && nb.p_nonblank == kNegInf) {
-            nb.words = beam.words; nb.cur = beam.cur;
-          }
+          LMBeam& nb = claim(node, beam);
           nb.p_blank = LogSumExp2(nb.p_blank, p_total + p);
           continue;
         }
         if (s == last) {
-          auto& stay = next[prefix];
-          if (stay.p_blank == kNegInf && stay.p_nonblank == kNegInf) {
-            stay.words = beam.words; stay.cur = beam.cur;
-          }
+          LMBeam& stay = claim(node, beam);
           stay.p_nonblank = LogSumExp2(stay.p_nonblank,
                                        beam.p_nonblank + p);
-          std::vector<int32_t> ext = prefix;
-          ext.push_back(s);
-          auto& nb = next[ext];
-          if (nb.p_blank == kNegInf && nb.p_nonblank == kNegInf) {
-            nb.words = beam.words;
-            nb.cur = beam.cur + chars[s];
-          }
+          LMBeam& nb = claim(trie.Extend(node, s), beam);
           nb.p_nonblank = LogSumExp2(nb.p_nonblank, beam.p_blank + p);
         } else {
-          std::vector<int32_t> ext = prefix;
-          ext.push_back(s);
-          auto& nb = next[ext];
+          int32_t ext = trie.Extend(node, s);
           double add = p_total + p;
           if (s == space_id) {
-            add += word_bonus(beam.words, beam.cur);
-            if (nb.p_blank == kNegInf && nb.p_nonblank == kNegInf) {
-              nb.words = beam.words;
-              if (!beam.cur.empty()) nb.words.push_back(beam.cur);
-              nb.cur.clear();
+            add += word_bonus(beam, node);
+            int32_t idx = slots.Get(ext);
+            if (idx < 0) {
+              idx = (int32_t)next.size();
+              next.push_back({ext, LMBeam{}});
+              next[idx].beam.CopyCtx(beam);
+              std::string w = cur_word(node);
+              if (!w.empty()) next[idx].beam.PushWord(intern(w));
+              slots.Put(ext, idx);
             }
-          } else if (nb.p_blank == kNegInf && nb.p_nonblank == kNegInf) {
-            nb.words = beam.words;
-            nb.cur = beam.cur + chars[s];
+            LMBeam& nb = next[idx].beam;
+            nb.p_nonblank = LogSumExp2(nb.p_nonblank, add);
+          } else {
+            LMBeam& nb = claim(ext, beam);
+            nb.p_nonblank = LogSumExp2(nb.p_nonblank, add);
           }
-          nb.p_nonblank = LogSumExp2(nb.p_nonblank, add);
         }
       }
     }
 
-    std::vector<std::pair<double, const std::vector<int32_t>*>> scored;
+    scored.clear();
     scored.reserve(next.size());
-    for (const auto& [prefix, beam] : next) {
-      scored.emplace_back(beam.Total(), &prefix);
+    for (size_t i = 0; i < next.size(); i++) {
+      scored.emplace_back(next[i].beam.Total(), (int32_t)i);
     }
     size_t keep = std::min<size_t>(beam_width, scored.size());
     std::partial_sort(scored.begin(), scored.begin() + keep, scored.end(),
                       [](const auto& a, const auto& b) {
                         return a.first > b.first;
                       });
-    BeamMap pruned;
+    beams.clear();
+    beams.reserve(keep);
     for (size_t i = 0; i < keep; i++) {
-      pruned[*scored[i].second] = next[*scored[i].second];
+      beams.push_back(next[scored[i].second]);
     }
-    beams = std::move(pruned);
   }
 
-  const std::vector<int32_t>* best = nullptr;
+  int32_t best = -1;
   double best_score = kNegInf;
-  for (const auto& [prefix, beam] : beams) {
-    double s = beam.Total() + word_bonus(beam.words, beam.cur);
-    if (s > best_score) {
-      best_score = s;
-      best = &prefix;
+  for (const auto& entry : beams) {
+    double sc = entry.beam.Total() + word_bonus(entry.beam, entry.node);
+    if (sc > best_score) {
+      best_score = sc;
+      best = entry.node;
     }
   }
-  if (!best) return 0;
-  int32_t n = std::min<int32_t>((int32_t)best->size(), out_cap);
-  std::memcpy(out_ids, best->data(), n * sizeof(int32_t));
+  if (best < 0) return 0;
+  std::vector<int32_t> ids = trie.Materialize(best);
+  int32_t n = std::min<int32_t>((int32_t)ids.size(), out_cap);
+  std::memcpy(out_ids, ids.data(), n * sizeof(int32_t));
   return n;
 }
 

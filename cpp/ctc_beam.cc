@@ -27,7 +27,8 @@ double LogSumExp2(double a, double b) {
   if (a == kNegInf) return b;
   if (b == kNegInf) return a;
   double m = a > b ? a : b;
-  return m + std::log(std::exp(a - m) + std::exp(b - m));
+  double d = (a > b ? b : a) - m;
+  return m + std::log1p(std::exp(d));  // one exp, log1p: ~2x cheaper
 }
 
 struct Beam {
@@ -36,18 +37,98 @@ struct Beam {
   double Total() const { return LogSumExp2(p_blank, p_nonblank); }
 };
 
-struct VecHash {
-  size_t operator()(const std::vector<int32_t>& v) const {
-    size_t h = 1469598103934665603ull;
-    for (int32_t x : v) {
-      h ^= static_cast<size_t>(x) + 0x9e3779b97f4a7c15ull + (h << 6)
-           + (h >> 2);
+// Prefix interning: beams are keyed by int trie-node ids, so extending a
+// prefix is an O(1) child lookup instead of an O(len) vector copy + hash
+// (which made the first version O(T^2 * beam * K) — ~1.5 s/utt at the
+// reference's validation sizes).
+// Insert-only open-addressing map (uint64 key -> int32), ~4x faster than
+// std::unordered_map in this access pattern (linear probe, pow2 size).
+struct FlatMap {
+  std::vector<uint64_t> keys;   // 0 = empty (stored keys are key+1)
+  std::vector<int32_t> vals;
+  size_t mask = 0, count = 0;
+  FlatMap() { Rehash(1 << 13); }
+  void Rehash(size_t cap) {
+    std::vector<uint64_t> ok = std::move(keys);
+    std::vector<int32_t> ov = std::move(vals);
+    keys.assign(cap, 0);
+    vals.assign(cap, -1);
+    mask = cap - 1;
+    count = 0;
+    for (size_t i = 0; i < ok.size(); i++) {
+      if (ok[i]) InsertRaw(ok[i], ov[i]);
     }
-    return h;
+  }
+  void InsertRaw(uint64_t k1, int32_t v) {
+    size_t h = (k1 * 0x9e3779b97f4a7c15ull) & mask;
+    while (keys[h]) h = (h + 1) & mask;
+    keys[h] = k1;
+    vals[h] = v;
+    count++;
+  }
+  // returns existing value or -1; claims the slot for insert via ref
+  int32_t* Probe(uint64_t key) {
+    if (count * 10 >= (mask + 1) * 7) Rehash((mask + 1) * 2);
+    uint64_t k1 = key + 1;
+    size_t h = (k1 * 0x9e3779b97f4a7c15ull) & mask;
+    while (keys[h] && keys[h] != k1) h = (h + 1) & mask;
+    if (!keys[h]) {
+      keys[h] = k1;
+      count++;
+      vals[h] = -1;
+    }
+    return &vals[h];
   }
 };
 
-using BeamMap = std::unordered_map<std::vector<int32_t>, Beam, VecHash>;
+struct PrefixTrie {
+  struct Node { int32_t parent; int32_t sym; };
+  std::vector<Node> nodes{{-1, -1}};  // node 0 = empty prefix
+  FlatMap child;
+  int32_t K;
+  explicit PrefixTrie(int32_t k) : K(k) {}
+  int32_t Extend(int32_t node, int32_t sym) {
+    uint64_t key = static_cast<uint64_t>(node) * K + sym;
+    int32_t* v = child.Probe(key);
+    if (*v >= 0) return *v;
+    int32_t id = static_cast<int32_t>(nodes.size());
+    nodes.push_back({node, sym});
+    *v = id;
+    return id;
+  }
+  int32_t Sym(int32_t n) const { return nodes[n].sym; }  // root -> -1
+  std::vector<int32_t> Materialize(int32_t n) const {
+    std::vector<int32_t> out;
+    while (n > 0) {
+      out.push_back(nodes[n].sym);
+      n = nodes[n].parent;
+    }
+    std::reverse(out.begin(), out.end());
+    return out;
+  }
+};
+
+// Per-step scatter table: next-beam index per trie node, valid only when
+// stamped with the current step's epoch — O(1) access, no hashing, no
+// per-step clearing.
+struct SlotTable {
+  std::vector<uint32_t> epoch_;
+  std::vector<int32_t> idx_;
+  uint32_t epoch = 0;
+  void NextEpoch() { epoch++; }
+  // returns the slot's index ref, -1 if unclaimed this epoch
+  int32_t Get(size_t node) {
+    if (node >= epoch_.size()) {
+      epoch_.resize(node + 1024, 0);
+      idx_.resize(node + 1024, -1);
+    }
+    return epoch_[node] == epoch ? idx_[node] : -1;
+  }
+  void Put(size_t node, int32_t idx) {
+    epoch_[node] = epoch;  // Get() above already sized the arrays
+    idx_[node] = idx;
+  }
+};
 
 }  // namespace
 
@@ -58,11 +139,25 @@ int32_t ssp_ctc_beam_decode(const double* log_probs, int32_t T, int32_t K,
                             double prune_logp, double beta,
                             int32_t space_id, int32_t* out_ids,
                             int32_t out_cap) {
-  BeamMap beams;
-  beams[{}] = Beam{0.0, kNegInf};
+  PrefixTrie trie(K);
+  struct Entry { int32_t node; Beam beam; };
+  std::vector<Entry> beams{{0, Beam{0.0, kNegInf}}};
+  std::vector<Entry> next;
+  SlotTable slots;
 
   std::vector<int32_t> cand;
   cand.reserve(K);
+  std::vector<std::pair<double, int32_t>> scored;
+
+  auto claim = [&](int32_t node) -> Beam& {
+    int32_t idx = slots.Get(node);
+    if (idx < 0) {
+      idx = static_cast<int32_t>(next.size());
+      next.push_back({node, Beam{}});
+      slots.Put(node, idx);
+    }
+    return next[idx].beam;
+  };
 
   for (int32_t t = 0; t < T; t++) {
     const double* frame = log_probs + static_cast<int64_t>(t) * K;
@@ -73,32 +168,30 @@ int32_t ssp_ctc_beam_decode(const double* log_probs, int32_t T, int32_t K,
       if (frame[s] >= fmax + prune_logp) cand.push_back(s);
     }
 
-    BeamMap next;
-    next.reserve(beams.size() * cand.size());
-    for (const auto& [prefix, beam] : beams) {
+    slots.NextEpoch();
+    next.clear();
+    for (const auto& entry : beams) {
+      const int32_t node = entry.node;
+      const Beam& beam = entry.beam;
       double p_total = beam.Total();
-      int32_t last = prefix.empty() ? -1 : prefix.back();
+      int32_t last = trie.Sym(node);
       for (int32_t s : cand) {
         double p = frame[s];
         if (s == blank) {
-          Beam& nb = next[prefix];
+          Beam& nb = claim(node);
           nb.p_blank = LogSumExp2(nb.p_blank, p_total + p);
           continue;
         }
         if (s == last) {
           // repeat: stay on the prefix only via the non-blank path
-          Beam& stay = next[prefix];
+          Beam& stay = claim(node);
           stay.p_nonblank = LogSumExp2(stay.p_nonblank,
                                        beam.p_nonblank + p);
           // extend only via the blank path
-          std::vector<int32_t> ext = prefix;
-          ext.push_back(s);
-          Beam& nb = next[ext];
+          Beam& nb = claim(trie.Extend(node, s));
           nb.p_nonblank = LogSumExp2(nb.p_nonblank, beam.p_blank + p);
         } else {
-          std::vector<int32_t> ext = prefix;
-          ext.push_back(s);
-          Beam& nb = next[ext];
+          Beam& nb = claim(trie.Extend(node, s));
           // word-insertion bonus when a space closes a non-empty word
           // (same convention as the Python fallback decoder)
           double bonus = (s == space_id && last != -1 && last != space_id)
@@ -109,39 +202,39 @@ int32_t ssp_ctc_beam_decode(const double* log_probs, int32_t T, int32_t K,
     }
 
     // keep top beam_width prefixes
-    std::vector<std::pair<double, const std::vector<int32_t>*>> scored;
+    scored.clear();
     scored.reserve(next.size());
-    for (const auto& [prefix, beam] : next) {
-      scored.emplace_back(beam.Total(), &prefix);
+    for (size_t i = 0; i < next.size(); i++) {
+      scored.emplace_back(next[i].beam.Total(), static_cast<int32_t>(i));
     }
     size_t keep = std::min<size_t>(beam_width, scored.size());
     std::partial_sort(scored.begin(), scored.begin() + keep, scored.end(),
                       [](const auto& a, const auto& b) {
                         return a.first > b.first;
                       });
-    BeamMap pruned;
-    pruned.reserve(keep);
+    beams.clear();
+    beams.reserve(keep);
     for (size_t i = 0; i < keep; i++) {
-      pruned[*scored[i].second] = next[*scored[i].second];
+      beams.push_back(next[scored[i].second]);
     }
-    beams = std::move(pruned);
   }
 
-  const std::vector<int32_t>* best = nullptr;
+  int32_t best = -1;
   double best_score = kNegInf;
-  for (const auto& [prefix, beam] : beams) {
-    double s = beam.Total();
-    if (!prefix.empty() && prefix.back() != space_id) {
+  for (const auto& entry : beams) {
+    double s = entry.beam.Total();
+    if (entry.node != 0 && trie.Sym(entry.node) != space_id) {
       s += beta;  // close the trailing word
     }
     if (s > best_score) {
       best_score = s;
-      best = &prefix;
+      best = entry.node;
     }
   }
-  if (!best) return 0;
-  int32_t n = std::min<int32_t>(best->size(), out_cap);
-  std::memcpy(out_ids, best->data(), n * sizeof(int32_t));
+  if (best < 0) return 0;
+  std::vector<int32_t> ids = trie.Materialize(best);
+  int32_t n = std::min<int32_t>(ids.size(), out_cap);
+  std::memcpy(out_ids, ids.data(), n * sizeof(int32_t));
   return n;
 }
 

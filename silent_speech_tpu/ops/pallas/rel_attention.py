@@ -112,13 +112,16 @@ def _probs(q, ke, valid, h, b, seed_ref, *, scale, m, w, n_heads,
     q: (T, d) input dtype; ke: (2W, d) = [E | K] rows; valid: (T, W).
     p_soft/p_post are f32.
     """
+    cd = q.dtype
     s_all = jax.lax.dot_general(
         q, ke, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                  # (T, 2W)
     # rolls stay f32: Mosaic's rotate has no 16-bit lowering
     s = jnp.where(valid, s_all[:, w:] * scale + _skew(s_all[:, :w], m),
-                  NEG)
+                  NEG).astype(cd)
 
+    # softmax in the compute dtype — max-subtracted, so bf16 is safe and
+    # matches the XLA path's bf16 softmax (transformer.py:198-201)
     smax = jnp.max(s, axis=-1, keepdims=True)
     ex = jnp.exp(s - smax)
     p_soft = ex / jnp.sum(ex, axis=-1, keepdims=True)

@@ -433,15 +433,30 @@ class RecognitionTrainer:
         predictions = []
         if batched:
             all_lp = self.batch_logits(examples)
-            for lp in all_lp:
+            lm = self._get_lm() if beam else None
+
+            def decode_one(lp):
                 if beam:
                     ids = beam_ctc_decode(
                         lp, self.text_transform.chars, self.blank_id,
-                        beam_width=cfg.beam_width, lm=self._get_lm(),
+                        beam_width=cfg.beam_width, lm=lm,
                         alpha=cfg.lm_alpha, beta=cfg.lm_beta)
                 else:
                     ids = greedy_ctc_decode(lp, self.blank_id)
-                predictions.append(self.text_transform.int_to_text(ids))
+                return self.text_transform.int_to_text(ids)
+
+            # the native decoder releases the GIL for the whole C call,
+            # so utterances decode in parallel across host cores; the
+            # pure-Python fallback is GIL-bound and stays serial
+            from ..utils import native as _native
+            if beam and _native.get_lib() is not None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                workers = min(16, os.cpu_count() or 1, max(len(all_lp), 1))
+                with ThreadPoolExecutor(max_workers=workers) as pool:
+                    predictions = list(pool.map(decode_one, all_lp))
+            else:
+                predictions = [decode_one(lp) for lp in all_lp]
         else:
             for ex in examples:
                 predictions.append(self.decode(ex, beam=beam))

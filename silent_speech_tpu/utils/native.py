@@ -11,6 +11,7 @@ fallback, so the native library is a fast path, never a hard dependency.
 from __future__ import annotations
 
 import ctypes
+import threading
 import os
 from typing import Optional, Tuple
 
@@ -142,18 +143,21 @@ def ctc_beam_decode(log_probs: np.ndarray, charset: str, blank_id: int,
 
 
 _LM_HANDLES = {}
+_LM_LOCK = threading.Lock()
 
 
 def lm_load(path: str) -> int:
-    """Load an ARPA LM into the native library (cached per path)."""
+    """Load an ARPA LM into the native library (cached per path; the
+    lock keeps concurrent decode threads from double-loading)."""
     lib = get_lib()
     assert lib is not None
-    if path not in _LM_HANDLES:
-        handle = lib.ssp_lm_load(path.encode())
-        if handle == 0:
-            raise ValueError(f"native ARPA load failed for {path}")
-        _LM_HANDLES[path] = handle
-    return _LM_HANDLES[path]
+    with _LM_LOCK:
+        if path not in _LM_HANDLES:
+            handle = lib.ssp_lm_load(path.encode())
+            if handle == 0:
+                raise ValueError(f"native ARPA load failed for {path}")
+            _LM_HANDLES[path] = handle
+        return _LM_HANDLES[path]
 
 
 def lm_score_word(path: str, context, word: str) -> float:

@@ -1,3 +1,4 @@
+import sys; sys.path.insert(0, ".")
 import time, numpy as np, sys
 import jax
 from silent_speech_tpu.config import Config

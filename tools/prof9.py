@@ -1,0 +1,99 @@
+"""Knockout profile of the full train step (fused attention active).
+
+Variants isolate: AdamW state traffic (sgd), DTW+phoneme loss (mse),
+dropout, shift augmentation. Run: python tools/prof9.py <variant>...
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+sys.path.insert(0, ".")
+from silent_speech_tpu.config import Config
+from silent_speech_tpu.parallel.mesh import make_mesh
+from silent_speech_tpu.data.device_cache import DeviceCorpus
+from bench import build_examples
+
+
+def run_variant(name, mutate_cfg=None, mutate_trainer=None,
+                patch_loss=False):
+    import silent_speech_tpu.train.transduction as tmod
+    orig_loss = tmod.transduction_loss
+    if patch_loss:
+        def mse_only(pred, phoneme_pred, batch, w=0.5, phoneme_eval=False,
+                     n_silent=None):
+            out = jnp.mean((pred.astype(jnp.float32)
+                            - pred.shape[-1] * 0.01) ** 2)
+            out = out + 1e-6 * jnp.mean(phoneme_pred.astype(jnp.float32)
+                                        ** 2)
+            from silent_speech_tpu.train.losses import TransductionLossOut
+            z = jnp.zeros((), jnp.float32)
+            return TransductionLossOut(loss=out, correct_phones=z,
+                                       total_length=z + 1.0,
+                                       confusion=None)
+        tmod.transduction_loss = mse_only
+    try:
+        cfg = Config()
+        if mutate_cfg:
+            mutate_cfg(cfg)
+        mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+        trainer = tmod.TransductionTrainer(cfg, mesh=mesh)
+        if mutate_trainer:
+            mutate_trainer(trainer)
+        example_sets = [build_examples(np.random.default_rng(i))
+                        for i in range(4)]
+        all_examples = [e for s in example_sets for e in s]
+        corpus = DeviceCorpus.build(all_examples)
+        id_sets = []
+        pos = 0
+        for s in example_sets:
+            id_sets.append(list(range(pos, pos + len(s))))
+            pos += len(s)
+        trainer.init_state(trainer._pack(example_sets[0]), seed=0)
+        rng = jax.random.PRNGKey(0)
+        wave = 4
+
+        def one_wave(i):
+            groups = [id_sets[(i + j) % 4] for j in range(wave)]
+            return trainer.cache_scan_ids(corpus, groups, rng,
+                                          [1e-3] * wave)
+        for i in range(6):
+            m = one_wave(i)
+        float(m["loss"][-1])
+        t0 = time.time()
+        n = 6
+        for i in range(n):
+            m = one_wave(i)
+        float(m["loss"][-1])
+        dt = time.time() - t0
+        print(f"{name:40s} {dt/(n*wave)*1000:7.2f} ms/step", flush=True)
+    finally:
+        tmod.transduction_loss = orig_loss
+
+
+def to_sgd(trainer):
+    trainer.tx = optax.inject_hyperparams(optax.sgd)(learning_rate=1e-3)
+
+
+def no_drop(cfg):
+    cfg.model.dropout = 0.0
+
+
+def no_shift(cfg):
+    cfg.model.shift_augment = False
+
+
+VARIANTS = {
+    "full": dict(),
+    "sgd": dict(mutate_trainer=to_sgd),
+    "mse": dict(patch_loss=True),
+    "nodrop": dict(mutate_cfg=no_drop),
+    "noshift": dict(mutate_cfg=no_shift),
+}
+
+if __name__ == "__main__":
+    for name in sys.argv[1:]:
+        run_variant(name, **VARIANTS[name])

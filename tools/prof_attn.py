@@ -3,6 +3,7 @@
 Times N in-jit iterations (lax.scan) of fwd+bwd through the attention
 module, device-resident args, so relay dispatch noise is amortized.
 """
+import sys; sys.path.insert(0, ".")
 import time
 import sys
 

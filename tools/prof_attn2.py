@@ -1,3 +1,4 @@
+import sys; sys.path.insert(0, ".")
 from prof_attn import bench
 for drop in (0.0, 0.2):
     ms = bench(True, drop)
