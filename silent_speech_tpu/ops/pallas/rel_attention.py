@@ -105,21 +105,33 @@ def _cell_valid(t_pad: int, w: int, m: int, t_real: int) -> jnp.ndarray:
     return (off >= 1 - m) & (off <= m - 1) & (col < t_real)
 
 
-def _probs(q, ke, valid, h, b, seed_ref, *, scale, m, w, n_heads,
-           drop_threshold):
-    """(p_soft, p_post) for one (chunk, head).
+def _pack16(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Two bf16 (T, W) planes → one uint32 (T, W): a high, b low."""
+    ua = pltpu.bitcast(a, jnp.uint16).astype(jnp.uint32)
+    ub = pltpu.bitcast(b, jnp.uint16).astype(jnp.uint32)
+    return (ua << 16) | ub
 
-    q: (T, d) input dtype; ke: (2W, d) = [E | K] rows; valid: (T, W).
-    p_soft/p_post are f32.
-    """
-    cd = q.dtype
-    s_all = jax.lax.dot_general(
-        q, ke, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                  # (T, 2W)
-    # rolls stay f32: Mosaic's rotate has no 16-bit lowering
-    s = jnp.where(valid, s_all[:, w:] * scale + _skew(s_all[:, :w], m),
-                  NEG).astype(cd)
 
+def _unpack16(p: jnp.ndarray):
+    hi = pltpu.bitcast((p >> 16).astype(jnp.uint16), jnp.bfloat16)
+    lo = pltpu.bitcast(p.astype(jnp.uint16), jnp.bfloat16)
+    return hi, lo
+
+
+def _pair_skews(r1: jnp.ndarray, r2: jnp.ndarray, m: int):
+    """Skew two heads' rel logits in ONE barrel pass: the rotation
+    amount depends only on the row, so the bf16 planes pack into the
+    32-bit lanes Mosaic's rotate requires and roll together."""
+    rolled = _skew(_pack16(r1.astype(jnp.bfloat16),
+                           r2.astype(jnp.bfloat16)), m)
+    return _unpack16(rolled)
+
+
+def _softmax_drop(s_unmasked, valid, h, b, seed_ref, *, n_heads,
+                  drop_threshold):
+    """Mask → softmax (compute dtype) → in-kernel dropout."""
+    cd = s_unmasked.dtype
+    s = jnp.where(valid, s_unmasked, jnp.asarray(NEG, cd))
     # softmax in the compute dtype — max-subtracted, so bf16 is safe and
     # matches the XLA path's bf16 softmax (transformer.py:198-201)
     smax = jnp.max(s, axis=-1, keepdims=True)
@@ -143,6 +155,42 @@ def _probs(q, ke, valid, h, b, seed_ref, *, scale, m, w, n_heads,
     return p_soft, p_post
 
 
+def _head_logits(q, ke, *, scale, w):
+    """One fused contraction → (content·scale (T, W) f32, rel (T, W) f32)."""
+    s_all = jax.lax.dot_general(
+        q, ke, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (T, 2W)
+    return s_all[:, w:] * scale, s_all[:, :w]
+
+
+def _pair_plan(n_heads: int, dtype) -> list:
+    """Head groups: bf16 packs two heads per barrel pass, f32 rolls
+    singly (packing to 16 bits would cost the tests' f32 precision)."""
+    if dtype == jnp.bfloat16:
+        groups = [(h, h + 1) for h in range(0, n_heads - 1, 2)]
+        if n_heads % 2:
+            groups.append((n_heads - 1,))
+        return groups
+    return [(h,) for h in range(n_heads)]
+
+
+def _group_probs(qs, kes, valid, hs, b, seed_ref, *, scale, m, w,
+                 n_heads, drop_threshold):
+    """(p_soft, p_post) per head for a 1- or 2-head group."""
+    cd = qs[0].dtype
+    logits = [_head_logits(q, ke, scale=scale, w=w)
+              for q, ke in zip(qs, kes)]
+    if len(logits) == 2:
+        sk = _pair_skews(logits[0][1], logits[1][1], m)
+        ss = [(c + k.astype(jnp.float32)).astype(cd)
+              for (c, _), k in zip(logits, sk)]
+    else:
+        ss = [(c + _skew(r, m)).astype(cd) for c, r in logits]
+    return [_softmax_drop(s, valid, h, b, seed_ref, n_heads=n_heads,
+                          drop_threshold=drop_threshold)
+            for s, h in zip(ss, hs)]
+
+
 def _hash_bits(shape, seed: jnp.ndarray) -> jnp.ndarray:
     """Deterministic uint32 mixer over (row, col, seed) — interpret-mode
     stand-in for the hardware PRNG (murmur3-style finalizer)."""
@@ -161,14 +209,16 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, e_ref, o_ref,
     b = pl.program_id(0)
     t_pad = q_ref.shape[2]
     valid = _cell_valid(t_pad, w, m, t_real)
-    for h in range(n_heads):
-        ke = jnp.concatenate([e_ref[h], k_ref[0, h]], axis=0)
-        _, p = _probs(q_ref[0, h], ke, valid, h, b, seed_ref,
-                      scale=scale, m=m, w=w, n_heads=n_heads,
-                      drop_threshold=drop_threshold)
-        o_ref[0, h] = jax.lax.dot(
-            p.astype(v_ref.dtype), v_ref[0, h],
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    for hs in _pair_plan(n_heads, q_ref.dtype):
+        kes = [jnp.concatenate([e_ref[h], k_ref[0, h]], axis=0)
+               for h in hs]
+        ps = _group_probs([q_ref[0, h] for h in hs], kes, valid, hs, b,
+                          seed_ref, scale=scale, m=m, w=w,
+                          n_heads=n_heads, drop_threshold=drop_threshold)
+        for h, (_, p) in zip(hs, ps):
+            o_ref[0, h] = jax.lax.dot(
+                p.astype(v_ref.dtype), v_ref[0, h],
+                preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, e_ref, do_ref,
@@ -182,51 +232,60 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, e_ref, do_ref,
     def _():
         de_ref[...] = jnp.zeros(de_ref.shape, de_ref.dtype)
 
-    for h in range(n_heads):
-        q = q_ref[0, h]
-        cd = q.dtype
-        k = k_ref[0, h]
-        v = v_ref[0, h]
-        e = e_ref[h]
-        do = do_ref[0, h]
-        ke = jnp.concatenate([e, k], axis=0)                 # (2W, d)
+    for hs in _pair_plan(n_heads, q_ref.dtype):
+        cd = q_ref.dtype
+        kes = [jnp.concatenate([e_ref[h], k_ref[0, h]], axis=0)
+               for h in hs]
+        ps = _group_probs([q_ref[0, h] for h in hs], kes, valid, hs, b,
+                          seed_ref, scale=scale, m=m, w=w,
+                          n_heads=n_heads, drop_threshold=drop_threshold)
 
-        p_soft, p_post = _probs(q, ke, valid, h, b, seed_ref,
-                                scale=scale, m=m, w=w, n_heads=n_heads,
-                                drop_threshold=drop_threshold)
-        pc = p_post.astype(cd)
+        dscs = []
+        for h, ke, (p_soft, p_post) in zip(hs, kes, ps):
+            do = do_ref[0, h]
+            dv_ref[0, h] = jax.lax.dot_general(
+                p_post.astype(cd), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dv_ref.dtype)
 
-        dv_ref[0, h] = jax.lax.dot_general(
-            pc, do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+            dp = jax.lax.dot_general(
+                do, v_ref[0, h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (T, W)
 
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (T, W)
+            # y = drop(softmax(s)):
+            #   ds = p_post⊙dp − p_soft·Σ_k(p_post⊙dp)
+            prod = p_post * dp
+            ds = prod - p_soft * jnp.sum(prod, axis=-1, keepdims=True)
+            dscs.append(ds.astype(cd))
 
-        # y = drop(softmax(s)): ds = p_post⊙dp − p_soft·Σ_k(p_post⊙dp)
-        prod = p_post * dp
-        ds = prod - p_soft * jnp.sum(prod, axis=-1, keepdims=True)
-        dsc = ds.astype(cd)
+        if len(hs) == 2:
+            # one packed barrel pass for both heads' unskews
+            rolled = _unskew(_pack16(dscs[0], dscs[1]), m)
+            drs = list(_unpack16(rolled))
+        else:
+            drs = [_unskew(d.astype(jnp.float32), m).astype(cd)
+                   for d in dscs]
 
-        dr = _unskew(ds, m)  # f32 rolls (no 16-bit rotate lowering)
-        col = jax.lax.broadcasted_iota(jnp.int32, dr.shape, 1)
-        dr = jnp.where(col < 2 * m - 1, dr, 0.0).astype(cd)
+        for h, ke, dsc, dr, (p_soft, p_post) in zip(hs, kes, dscs, drs,
+                                                    ps):
+            q = q_ref[0, h]
+            col = jax.lax.broadcasted_iota(jnp.int32, dr.shape, 1)
+            dr = jnp.where(col < 2 * m - 1, dr, jnp.zeros((), cd))
 
-        # dQ = dR·E + (scale·dS)K as one fused contraction over [E | K]
-        dr_ds = jnp.concatenate(
-            [dr, (ds * scale).astype(cd)], axis=1)           # (T, 2W)
-        dq_ref[0, h] = jax.lax.dot(
-            dr_ds, ke, preferred_element_type=jnp.float32
-        ).astype(dq_ref.dtype)
+            # dQ = dR·E + (scale·dS)K as one fused contraction over
+            # [E | K]
+            dr_ds = jnp.concatenate(
+                [dr, dsc * jnp.asarray(scale, cd)], axis=1)  # (T, 2W)
+            dq_ref[0, h] = jax.lax.dot(
+                dr_ds, ke, preferred_element_type=jnp.float32
+            ).astype(dq_ref.dtype)
 
-        dk_ref[0, h] = (jax.lax.dot_general(
-            dsc, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale).astype(
-                dk_ref.dtype)
+            dk_ref[0, h] = (jax.lax.dot_general(
+                dsc, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale).astype(
+                    dk_ref.dtype)
 
-        de_ref[h] += jax.lax.dot_general(
-            dr, q, (((0,), (0,)), ((), ())),
+            de_ref[h] += jax.lax.dot_general(
+                dr, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
 

@@ -132,3 +132,28 @@ def test_traced_seed_under_jit_and_grad():
     assert np.isfinite(float(l1)) and np.isfinite(float(l2))
     assert float(l1) != float(l2)  # seed actually changes the mask
     assert np.isfinite(np.asarray(g1)).all()
+
+
+def test_bf16_packed_pair_path():
+    """bf16 engages the packed-pair barrel rolls (two heads' rel planes
+    ride one 32-bit rotate); outputs and grads must stay at bf16
+    tolerance vs the f32 XLA math."""
+    b, h, t, dh, m = 2, 4, 200, 32, 100
+    q = _rand((b, h, t, dh), 0).astype(jnp.bfloat16)
+    k = _rand((b, h, t, dh), 1).astype(jnp.bfloat16)
+    v = _rand((b, h, t, dh), 2).astype(jnp.bfloat16)
+    e = _rand((h, 2 * m - 1, dh), 3).astype(jnp.bfloat16)
+    out = fused_rel_attention(q, k, v, e, 0, m, 0)
+    ref = xla_rel_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                            v.astype(jnp.float32), e.astype(jnp.float32),
+                            m)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref), atol=5e-3)
+
+    def loss(q):
+        return jnp.sum(
+            fused_rel_attention(q, k, v, e, 0, m, 0).astype(jnp.float32)
+            ** 2)
+
+    g = jax.grad(loss)(q)
+    assert np.isfinite(np.asarray(g, np.float32)).all()
