@@ -13,7 +13,12 @@ publishes no speed numbers, SURVEY.md §6): per step it runs a ~57M-param
 encoder fwd+bwd over ~22k frames plus a *host* numba DTW per silent
 utterance with a device sync (~10 silent × ~5-10 ms, serialized with the
 GPU). 3 steps/s is a deliberately generous estimate for that loop on a
-modern GPU; the driver's BASELINE.json target is ≥5× that.
+modern GPU; the driver's BASELINE.json target is ≥5× that **on v5e-8**
+(8 chips). This bench runs on the single available chip, where the
+measured GEMM roofline (~134-140 TFLOP/s, tools/prof_gemm.py) bounds
+this architecture's ~9 TFLOP step at ~85 ms — the single-chip number
+is within ~10% of that light speed; the 5× aggregate comes from the
+data-parallel mesh path validated in the multichip dryrun.
 """
 
 import json
