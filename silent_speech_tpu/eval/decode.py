@@ -240,6 +240,25 @@ def _warn_python_fallback_once() -> None:
             "widths. Build it with `make -C cpp`.")
 
 
+def native_beam_usable(lm) -> bool:
+    """True iff ``beam_ctc_decode`` would take the native C++ path for
+    this LM — the signal callers use to decide whether threading the
+    decode across cores pays off (the native call releases the GIL;
+    the Python fallback is GIL-bound)."""
+    from ..utils import native
+
+    if native.get_lib() is None:
+        return False
+    if lm is None:
+        return True
+    # KenLM probing binaries are scored by the Python LM object; text
+    # ARPA models load natively when they expose a path AND fit the
+    # native context ring (order <= 10 — cpp/arpa_lm.cc kMaxCtx)
+    return (getattr(lm, "binary_path", None) is None
+            and getattr(lm, "path", None) is not None
+            and getattr(lm, "order", 0) <= 10)
+
+
 def _try_native_beam(lp, charset, blank_id, beam_width, lm, alpha, beta):
     try:
         from ..utils import native

@@ -22,6 +22,7 @@ TPU-first differences from the reference implementation:
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -32,6 +33,16 @@ from flax import linen as nn
 from ..ops.dropout import RegenDropout
 
 NEG_INF = -1e8  # matches the reference's out-of-range logit offset
+
+
+def _fused_kernel_active() -> bool:
+    """The fused Pallas kernel runs on TPU; other platforms keep the
+    tuned XLA path below (interpret-mode Pallas would be a large silent
+    slowdown there). ``SSTPU_INTERPRET_FUSED=1`` overrides — tests use
+    it to exercise the kernel under the virtual CPU mesh."""
+    if os.environ.get("SSTPU_INTERPRET_FUSED") == "1":
+        return True
+    return jax.devices()[0].platform == "tpu"
 
 
 def _key_seed(key) -> jnp.ndarray:
@@ -163,14 +174,14 @@ class RelativePositionalAttention(nn.Module):
         k = jnp.einsum("btd,hda->bhta", xc, w_k.astype(cdt))
         v = jnp.einsum("btd,hda->bhta", xc, w_v.astype(cdt))
 
-        if self.fused and segment_ids is None:
+        if self.fused and segment_ids is None and _fused_kernel_active():
             from ..ops.pallas.rel_attention import fused_rel_attention
-            from ..ops.dropout import dropout_threshold
 
             thresh = 0
             seed = jnp.zeros((1,), jnp.int32)
             if not deterministic and self.dropout > 0:
-                thresh = int(round(self.dropout * 2.0 ** 32)) & 0xFFFFFFFF
+                thresh = min(int(round(self.dropout * 2.0 ** 32)),
+                             0xFFFFFFFF)
                 seed = _key_seed(self.make_rng("dropout"))
             o = fused_rel_attention(q, k, v, rel_emb.astype(cdt), seed,
                                     self.max_dist, thresh)

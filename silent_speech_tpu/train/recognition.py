@@ -447,9 +447,10 @@ class RecognitionTrainer:
 
             # the native decoder releases the GIL for the whole C call,
             # so utterances decode in parallel across host cores; the
-            # pure-Python fallback is GIL-bound and stays serial
-            from ..utils import native as _native
-            if beam and _native.get_lib() is not None:
+            # pure-Python fallback (incl. KenLM-binary LMs) is GIL-bound
+            # and stays serial
+            from ..eval.decode import native_beam_usable
+            if beam and native_beam_usable(lm):
                 from concurrent.futures import ThreadPoolExecutor
 
                 workers = min(16, os.cpu_count() or 1, max(len(all_lp), 1))

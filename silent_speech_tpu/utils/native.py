@@ -183,6 +183,11 @@ def ctc_beam_decode_lm(log_probs: np.ndarray, charset: str, blank_id: int,
         t, k, blank_id, beam_width, prune_logp, alpha, beta,
         charset.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         t)
+    if n < 0:
+        # e.g. LM order exceeds the native context ring — the caller
+        # falls back to the full-history Python decoder
+        raise ValueError(
+            f"native LM-fused decode refused the model (code {n})")
     return out[:n].tolist()
 
 

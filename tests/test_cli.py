@@ -45,9 +45,16 @@ def _run(script, corpus, out_dir, extra=()):
                           cwd=REPO, timeout=900)
 
 
-def test_transduction_cli(corpus, tmp_path):
-    out = str(tmp_path / "trans_out")
+@pytest.fixture(scope="module")
+def trained(corpus, tmp_path_factory):
+    """One transduction CLI run shared by the dependent-CLI tests."""
+    out = str(tmp_path_factory.mktemp("trans_out"))
     r = _run("transduction_model.py", corpus, out)
+    return out, r
+
+
+def test_transduction_cli(corpus, trained):
+    out, r = trained
     assert r.returncode == 0, r.stderr[-3000:]
     assert os.path.exists(os.path.join(out, "log.txt"))
     log = open(os.path.join(out, "log.txt")).read()
@@ -57,6 +64,40 @@ def test_transduction_cli(corpus, tmp_path):
     assert "devices: 8 x" in log, log[:2000]
     assert os.path.exists(os.path.join(out, "model.pt"))
     assert os.path.isdir(os.path.join(out, "checkpoint"))
+
+
+def test_evaluate_cli(corpus, trained, tmp_path):
+    """evaluate.py end-to-end: ensemble of two copies of the trained
+    checkpoint, dev split, no vocoder (gated WER path warns)."""
+    out, r0 = trained
+    assert r0.returncode == 0, r0.stderr[-3000:]
+    model = os.path.join(out, "model.pt")
+    eval_out = str(tmp_path / "eval_out")
+    r = _run("evaluate.py", corpus, eval_out,
+             extra=("--models", model, model, "--dev"))
+    assert r.returncode == 0, r.stderr[-3000:]
+    log = open(os.path.join(eval_out, "eval_log.txt")).read()
+    assert "phoneme accuracy" in log
+    assert "skipping wav synthesis" in log  # no --hifigan_checkpoint
+
+
+def test_make_vocoder_trainset_cli(corpus, trained, tmp_path):
+    """make_vocoder_trainset.py end-to-end: aligned predicted mels +
+    22.05 kHz wavs + filelists (reference make_vocoder_trainset.py)."""
+    out, r0 = trained
+    assert r0.returncode == 0, r0.stderr[-3000:]
+    voc_out = str(tmp_path / "voc_out")
+    r = _run("make_vocoder_trainset.py", corpus, voc_out,
+             extra=("--model", os.path.join(out, "model.pt")))
+    assert r.returncode == 0, r.stderr[-3000:]
+    for fl in ("train_filelist.txt", "dev_filelist.txt"):
+        path = os.path.join(voc_out, fl)
+        assert os.path.exists(path)
+        lines = open(path).read().strip().splitlines()
+        assert lines
+    import numpy as np
+    mel = np.load(os.path.join(voc_out, "mels", "dev_output_0.npy"))
+    assert mel.ndim == 3 and mel.shape[1] == 80
 
 
 def test_recognition_cli(corpus, tmp_path):

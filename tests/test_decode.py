@@ -142,3 +142,46 @@ def test_python_fallback_warns_once(monkeypatch, caplog):
         beam_ctc_decode(lp, CHARS + "x" * (38 - len(CHARS) - 1), 37,
                         beam_width=4)
     assert not any("libssp_native" in r.message for r in caplog.records)
+
+
+def test_native_lm_order_guard(tmp_path):
+    """The native LM-fused decoder keeps only a 9-word context ring —
+    exact for order <= 10. Higher orders must be refused natively
+    (ValueError) and transparently served by the Python decoder."""
+    import numpy as np
+    from silent_speech_tpu.eval.decode import (
+        beam_ctc_decode, native_beam_usable, ArpaLM)
+    from silent_speech_tpu.utils import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library not built")
+
+    order = 11
+    lines = ["\\data\\"]
+    lines += [f"ngram {n}={1 if n > 1 else 3}" for n in range(1, order + 1)]
+    lines.append("")
+    words = ["w%d" % i for i in range(order)]
+    lines += ["\\1-grams:", "-0.5\t<s>\t-0.3", "-0.7\ta\t-0.3",
+              "-2.0\t<unk>", ""]
+    for n in range(2, order + 1):
+        lines += [f"\\{n}-grams:",
+                  "-0.5\t" + " ".join(words[:n]) + ("\t-0.2"
+                                                    if n < order else ""),
+                  ""]
+    lines.append("\\end\\")
+    path = tmp_path / "big.arpa"
+    path.write_text("\n".join(lines))
+
+    with pytest.raises(ValueError):
+        native.ctc_beam_decode_lm(
+            np.log(np.full((5, 4), 0.25)), "ab ", 3, str(path))
+
+    # the public API falls back to the Python decoder and still decodes
+    lm = ArpaLM(str(path))
+    rng = np.random.default_rng(0)
+    lp = rng.normal(size=(12, 4))
+    lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+    ids = beam_ctc_decode(lp, "ab ", 3, beam_width=8, lm=lm)
+    assert isinstance(ids, list)
+    assert native_beam_usable(None)
+    assert not native_beam_usable(lm)  # ring too small -> stay serial

@@ -132,8 +132,15 @@ def test_exported_checkpoint_loads_in_reference_model(corpus, sets,
     assert all("num_batches_tracked" in k for k in missing)
 
 
-def test_multidevice_data_parallel_training(corpus, sets, tmp_path):
-    """Full train step sharded over a 4×2 (data×model) mesh."""
+@pytest.mark.parametrize("fused_interpret", [False, True])
+def test_multidevice_data_parallel_training(corpus, sets, tmp_path,
+                                            monkeypatch, fused_interpret):
+    """Full train step sharded over a 4×2 (data×model) mesh — with the
+    XLA attention path and (via SSTPU_INTERPRET_FUSED) the fused Pallas
+    kernel in interpret mode, so the kernel stays covered under GSPMD
+    partitioning."""
+    if fused_interpret:
+        monkeypatch.setenv("SSTPU_INTERPRET_FUSED", "1")
     trainset, devset = sets
     cfg = _tiny_config(corpus, str(tmp_path / "dp_out"))
     mesh = make_mesh(4, 2)
