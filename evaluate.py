@@ -83,7 +83,14 @@ def main():
 
     from silent_speech_tpu.eval.asr import evaluate
 
-    evaluate(testset, out_dir)
+    try:
+        evaluate(testset, out_dir)
+    except ImportError as e:
+        # wavs are already on disk; the pinned judge just isn't installed
+        logging.warning(
+            'ASR WER skipped (%s) — install deepspeech==0.7.0 with its '
+            'pbmm+scorer models for published-comparable WER, or run '
+            'eval.asr.evaluate with TransformersASR on %s', e, out_dir)
 
 
 if __name__ == '__main__':

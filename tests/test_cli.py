@@ -107,3 +107,28 @@ def test_recognition_cli(corpus, tmp_path):
     log = open(os.path.join(out, "log.txt")).read()
     assert "validation WER" in log
     assert os.path.exists(os.path.join(out, "model.pt"))
+
+
+def test_evaluate_cli_full_vocoder_path(corpus, trained, tmp_path):
+    """evaluate.py with a (tiny, random) HiFi-GAN checkpoint: vocodes
+    every test utterance to example_output_{i}.wav and soft-skips the
+    ASR judge when deepspeech isn't installed."""
+    out, r0 = trained
+    assert r0.returncode == 0, r0.stderr[-3000:]
+    from silent_speech_tpu.models.hifigan import HiFiGANConfig
+    from hifigan_util import write_tiny_checkpoint
+
+    cfg = HiFiGANConfig(
+        resblock="1", upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=32, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 2),), num_mels=80)
+    ckpt = write_tiny_checkpoint(str(tmp_path / "hifigan"), cfg)
+
+    eval_out = str(tmp_path / "eval_voc_out")
+    r = _run("evaluate.py", corpus, eval_out,
+             extra=("--models", os.path.join(out, "model.pt"),
+                    "--hifigan_checkpoint", ckpt, "--dev"))
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.exists(os.path.join(eval_out, "example_output_0.wav"))
+    log = open(os.path.join(eval_out, "eval_log.txt")).read()
+    assert "ASR WER skipped" in log  # deepspeech absent, wavs written

@@ -88,12 +88,34 @@ def no_shift(cfg):
 
 VARIANTS = {
     "full": dict(),
+    "nodp": dict(),
     "sgd": dict(mutate_trainer=to_sgd),
     "mse": dict(patch_loss=True),
     "nodrop": dict(mutate_cfg=no_drop),
     "noshift": dict(mutate_cfg=no_shift),
 }
 
+def _patch_identity_dp():
+    import silent_speech_tpu.train.losses as L
+    orig = L.dtw_align_batch
+
+    def ident(costs, n1, n2):
+        k, t1, t2 = costs.shape
+        al = jnp.broadcast_to(jnp.arange(t1)[None, :], (k, t1))
+        return jnp.minimum(al, (n2 - 1)[:, None]).astype(jnp.int32), \
+            jnp.zeros((k,), costs.dtype)
+    L.dtw_align_batch = ident
+    return orig
+
+
 if __name__ == "__main__":
     for name in sys.argv[1:]:
-        run_variant(name, **VARIANTS[name])
+        if name == "nodp":
+            orig = _patch_identity_dp()
+            try:
+                run_variant(name)
+            finally:
+                import silent_speech_tpu.train.losses as L
+                L.dtw_align_batch = orig
+        else:
+            run_variant(name, **VARIANTS[name])
