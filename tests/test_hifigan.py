@@ -113,36 +113,12 @@ def _torch_oracle_generator(state, cfg, mel_np):
 
 def test_generator_parity_with_torch_oracle():
     pytest.importorskip("torch")
+    from hifigan_util import random_generator_state
+
     rng = np.random.default_rng(2)
     cfg = SMALL
-
     # official-naming random state dict (already weight-norm-free)
-    state = {}
-    ch = cfg.upsample_initial_channel
-
-    def rconv(name, cin, cout, k):
-        state[f"{name}.weight"] = rng.normal(
-            size=(cout, cin, k)).astype(np.float32) * 0.1
-        state[f"{name}.bias"] = rng.normal(size=(cout,)).astype(
-            np.float32) * 0.1
-
-    rconv("conv_pre", cfg.num_mels, ch, 7)
-    nk = len(cfg.resblock_kernel_sizes)
-    for i, (rate, ksize) in enumerate(zip(cfg.upsample_rates,
-                                          cfg.upsample_kernel_sizes)):
-        cin, cout = ch // (2 ** i), ch // (2 ** (i + 1))
-        state[f"ups.{i}.weight"] = rng.normal(
-            size=(cin, cout, ksize)).astype(np.float32) * 0.1
-        state[f"ups.{i}.bias"] = rng.normal(size=(cout,)).astype(
-            np.float32) * 0.1
-        for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes,
-                                         cfg.resblock_dilation_sizes)):
-            r = i * nk + j
-            for d_idx in range(len(rd)):
-                rconv(f"resblocks.{r}.convs1.{d_idx}", cout, cout, rk)
-                rconv(f"resblocks.{r}.convs2.{d_idx}", cout, cout, rk)
-    final = ch // (2 ** len(cfg.upsample_rates))
-    rconv("conv_post", final, 1, 7)
+    state = random_generator_state(rng, cfg)
 
     mel = rng.normal(size=(1, 25, cfg.num_mels)).astype(np.float32)
     expected = _torch_oracle_generator(state, cfg, mel)
