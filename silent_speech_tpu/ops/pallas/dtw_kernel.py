@@ -115,43 +115,51 @@ def _dtw_kernel(n1_ref, n2_ref, s_ref, align_ref, cost_out_ref,
     jax.lax.fori_loop(0, rows_here, row_body, 0)
 
     # ---- backtrace + outputs on the last chunk --------------------------
+    # All 8 utterances walk rows in LOCKSTEP, one row per step (the path
+    # visits every row exactly once when left-runs are resolved whole).
+    # At row i with entry column j, the recorded column is the end of the
+    # run of choice==1 cells scanning left from j; encoding eligible cells
+    # as col*2 + (choice==2) makes that a single masked reduce-max over
+    # the loaded (8, T2) choice row — no per-cell stepping, no windowed
+    # scalar loads. ~10x fewer sequential steps than the per-cell walk
+    # (measured: the old backtrace was ~4 ms of the 6.3 ms kernel at
+    # T=1024; see tools/prof_dtw.py).
     @pl.when(c == n_chunks - 1)
     def _():
         corner = jnp.sum(corner_ref[:, :], axis=1)   # (8,)
-        wsize = 256 if t2 >= 256 else t2
-        win = jax.lax.broadcasted_iota(jnp.int32, (1, wsize), 1)
-        row_pos = jax.lax.broadcasted_iota(jnp.int32, (1, t1), 1)
-
         for u in range(K_TILE):
-            n1 = n1_ref[kt * K_TILE + u]
-            n2 = n2_ref[kt * K_TILE + u]
             cost_out_ref[kt * K_TILE + u] = corner[u]
 
-            def bt_body(_, carry):
-                i, j, align_vec = carry
-                active = (i > 0) & (j > 0)
-                align_vec = jnp.where((row_pos == i) & active, j,
-                                      align_vec)
-                if wsize == t2:
-                    jbase = 0
-                    window = choices_ref[pl.ds(i, 1), u, :]
-                else:
-                    jbase = jnp.minimum((j // 128) * 128, t2 - wsize)
-                    jbase = pl.multiple_of(jbase, 128)
-                    window = choices_ref[pl.ds(i, 1), u,
-                                         pl.ds(jbase, wsize)]
-                ci = jnp.sum(jnp.where(win == j - jbase,
-                                       window.astype(jnp.int32), 0))
-                ni = jnp.where(ci == 1, i, i - 1)
-                nj = jnp.where(ci == 0, j, j - 1)
-                i2 = jnp.where(active, ni, i)
-                j2 = jnp.where(active, nj, j)
-                return (i2, j2, align_vec)
+        row_pos = jax.lax.broadcasted_iota(jnp.int32, (K_TILE, t1), 1)
 
-            init_align = jnp.zeros((1, t1), jnp.int32)
-            _, _, align_vec = jax.lax.fori_loop(
-                0, n1 + n2, bt_body, (n1 - 1, n2 - 1, init_align))
-            align_ref[u, 0:1, :] = align_vec
+        n1c = n1v[:, None]                                 # (8, 1)
+        n2c = n2v[:, None]
+
+        # STATIC trip count (t1-1): rows above any utterance's n1-1 are
+        # masked off via `active`; a dynamic SMEM-derived bound here is
+        # both unnecessary and a Mosaic hazard.
+        def bt_row(r, carry):
+            j_col, align_acc = carry                       # (8,1), (8,T1)
+            i = t1 - 1 - r
+            row = choices_ref[pl.ds(i, 1), :, :][0].astype(jnp.int32)
+            # (8, T2) choice row
+            active = (i <= n1c - 1) & (i >= 1) & (j_col > 0)   # (8, 1)
+            elig = (row != 1) & (col <= j_col)
+            enc = jnp.where(elig, col * 2 + (row == 2).astype(jnp.int32),
+                            -1)
+            pmax = jnp.max(enc, axis=1, keepdims=True)     # (8, 1)
+            e = pmax >> 1
+            diag = pmax & 1
+            rec = jnp.maximum(e, 1)   # a run reaching col 0 records col 1
+            align_acc = jnp.where((row_pos == i) & active, rec, align_acc)
+            j_next = jnp.where(e == 0, 0, e - diag)
+            j_col = jnp.where(active, j_next, j_col)
+            return (j_col, align_acc)
+
+        init = (n2c - 1, jnp.zeros((K_TILE, t1), jnp.int32))
+        _, align_acc = jax.lax.fori_loop(0, t1 - 1, bt_row, init)
+        for u in range(K_TILE):
+            align_ref[u, 0:1, :] = align_acc[u][None]
 
 
 def pallas_dtw_align_batch(costs: jnp.ndarray, n1: jnp.ndarray,
