@@ -25,6 +25,7 @@
 #include <vector>
 
 #include "beam_common.h"
+#include "lm_iface.h"
 
 namespace {
 
@@ -34,7 +35,7 @@ using ssp::kNegInf;
 
 constexpr double kLog10 = 2.302585092994046;
 
-struct ArpaLM {
+struct ArpaLM : public ssp::WordLM {
   // per order: "w1 w2 ... wn" -> (logp_e, backoff_e)  (natural log)
   std::vector<std::unordered_map<std::string, std::pair<float, float>>>
       ngrams;
@@ -90,8 +91,10 @@ struct ArpaLM {
     return out;
   }
 
+  int Order() const override { return order; }
+
   double ScoreWord(std::vector<std::string> context,
-                   const std::string& word) const {
+                   const std::string& word) const override {
     // truncate to the model order's context window
     if (order > 1 && (int)context.size() > order - 1) {
       context.erase(context.begin(), context.end() - (order - 1));
@@ -169,16 +172,17 @@ extern "C" {
 int64_t ssp_lm_load(const char* path) {
   auto lm = std::make_unique<ArpaLM>();
   if (!lm->Load(path)) return 0;
-  return reinterpret_cast<int64_t>(lm.release());
+  return reinterpret_cast<int64_t>(
+      static_cast<ssp::WordLM*>(lm.release()));
 }
 
 void ssp_lm_free(int64_t handle) {
-  delete reinterpret_cast<ArpaLM*>(handle);
+  delete reinterpret_cast<ssp::WordLM*>(handle);
 }
 
 double ssp_lm_score_word(int64_t handle, const char* context,
                          const char* word) {
-  const ArpaLM* lm = reinterpret_cast<const ArpaLM*>(handle);
+  const ssp::WordLM* lm = reinterpret_cast<const ssp::WordLM*>(handle);
   std::vector<std::string> ctx;
   std::istringstream ss(context);
   std::string w;
@@ -192,11 +196,11 @@ int32_t ssp_ctc_beam_decode_lm(int64_t handle, const double* log_probs,
                                double alpha, double beta,
                                const char* charset, int32_t* out_ids,
                                int32_t out_cap) {
-  const ArpaLM* lm = reinterpret_cast<const ArpaLM*>(handle);
+  const ssp::WordLM* lm = reinterpret_cast<const ssp::WordLM*>(handle);
   // the context ring keeps kMaxCtx completed words — exact only for
   // LM order <= kMaxCtx+1; refuse higher orders (caller falls back to
   // the full-history Python decoder)
-  if (lm != nullptr && lm->order > kMaxCtx + 1) return -1;
+  if (lm != nullptr && lm->Order() > kMaxCtx + 1) return -1;
   const std::string chars(charset);
   int32_t space_id = -1;
   for (size_t i = 0; i < chars.size(); i++) {

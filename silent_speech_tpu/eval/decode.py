@@ -5,9 +5,11 @@ Replaces the reference's third-party ``ctcdecode`` C++ beam decoder + KenLM
 Decoding is eval-only — never in the training hot loop — so the beam search
 runs on the host: a C++ implementation (``cpp/ctc_beam.cc``) is used when the
 native library is built, with this pure-Python prefix beam search as the
-always-available fallback. The language model is an ARPA-format word n-gram
-with back-off (KenLM's ``lm.binary`` is a proprietary serialization; ARPA is
-the interchange format every KenLM model can be exported to).
+always-available fallback. The language model is a word n-gram with back-off
+loaded from either an ARPA text file (this module) or a KenLM probing
+``.binary`` (:mod:`.kenlm_binary` — the reference's canonical eval LM); both
+kinds decode through the native beam (``cpp/arpa_lm.cc`` /
+``cpp/probing_lm.cc``).
 """
 
 from __future__ import annotations
@@ -222,8 +224,7 @@ _WARNED_FALLBACK = False
 def _warn_python_fallback_once() -> None:
     """The C++ decoder is ~50× the Python fallback at beam_width=100; a
     silently missing ``libssp_native.so`` would turn per-epoch validation
-    into minutes — say so once. (KenLM-binary LMs intentionally use the
-    Python path; no warning for those.)"""
+    into minutes — say so once."""
     global _WARNED_FALLBACK
     if _WARNED_FALLBACK:
         return
@@ -247,15 +248,20 @@ def native_beam_usable(lm) -> bool:
     the Python fallback is GIL-bound)."""
     from ..utils import native
 
-    if native.get_lib() is None:
+    lib = native.get_lib()
+    if lib is None:
         return False
     if lm is None:
         return True
-    # KenLM probing binaries are scored by the Python LM object; text
-    # ARPA models load natively when they expose a path AND fit the
-    # native context ring (order <= 10 — cpp/arpa_lm.cc kMaxCtx)
-    return (getattr(lm, "binary_path", None) is None
-            and getattr(lm, "path", None) is not None
+    # both LM kinds decode natively when they expose a path AND fit the
+    # native context ring (order <= 10 — cpp/arpa_lm.cc kMaxCtx); KenLM
+    # probing binaries additionally need the solved layout
+    # (cpp/probing_lm.cc mmaps the file at those offsets)
+    if getattr(lm, "binary_path", None) is not None:
+        return (getattr(lm, "layout", None) is not None
+                and getattr(lm, "order", 0) <= 10
+                and hasattr(lib, "ssp_lm_load_probing"))
+    return (getattr(lm, "path", None) is not None
             and getattr(lm, "order", 0) <= 10)
 
 
@@ -269,12 +275,9 @@ def _try_native_beam(lp, charset, blank_id, beam_width, lm, alpha, beta):
         if lm is None:
             return native.ctc_beam_decode(lp, charset, blank_id,
                                           beam_width, alpha, beta)
-        if getattr(lm, "binary_path", None) is not None:
-            return None  # KenLM binary: scored by the Python LM object
-        path = getattr(lm, "path", None)
-        if path is None:
+        if not native_beam_usable(lm):
             return None
-        return native.ctc_beam_decode_lm(lp, charset, blank_id, path,
+        return native.ctc_beam_decode_lm(lp, charset, blank_id, lm,
                                          beam_width, alpha, beta)
     except Exception:
         return None

@@ -244,6 +244,16 @@ class KenLMBinary:
                 "truncated or from an incompatible KenLM build — export "
                 "to ARPA instead")
         (self._uni_extra, _va, vt, ug, mids, lt, lb, end) = match
+        # resolved section offsets/buckets — the native decoder mmaps the
+        # same file against this layout (cpp/probing_lm.cc), so only one
+        # parser of the format exists
+        self.layout = {
+            "vocab_off": vt, "vocab_buckets": vocab_buckets,
+            "uni_off": ug, "uni_entries": counts[0] + self._uni_extra,
+            "mid": list(mids),  # [(offset, buckets)] for orders 2..N-1
+            "longest_off": lt if lt is not None else 0,
+            "longest_buckets": lb,
+        }
 
         # ---- vocab probing table {u64 hash, u32 id}, 12-byte entries
         ventries = np.frombuffer(

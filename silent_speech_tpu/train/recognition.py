@@ -447,8 +447,7 @@ class RecognitionTrainer:
 
             # the native decoder releases the GIL for the whole C call,
             # so utterances decode in parallel across host cores; the
-            # pure-Python fallback (incl. KenLM-binary LMs) is GIL-bound
-            # and stays serial
+            # pure-Python fallback is GIL-bound and stays serial
             from ..eval.decode import native_beam_usable
             if beam and native_beam_usable(lm):
                 from concurrent.futures import ThreadPoolExecutor

@@ -65,6 +65,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.ssp_lm_score_word.restype = ctypes.c_double
             lib.ssp_lm_score_word.argtypes = [
                 ctypes.c_int64, ctypes.c_char_p, ctypes.c_char_p]
+            lib.ssp_lm_load_probing.restype = ctypes.c_int64
+            lib.ssp_lm_load_probing.argtypes = [
+                ctypes.c_char_p, ctypes.c_int32, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_int64,
+            ]
             lib.ssp_ctc_beam_decode_lm.restype = ctypes.c_int32
             lib.ssp_ctc_beam_decode_lm.argtypes = [
                 ctypes.c_int64, ctypes.POINTER(ctypes.c_double),
@@ -160,6 +168,40 @@ def lm_load(path: str) -> int:
         return _LM_HANDLES[path]
 
 
+def lm_load_probing(lm) -> int:
+    """Load a KenLM probing ``.binary`` into the native library from the
+    layout the (tested) Python reader solved — the native side mmaps the
+    same file at those offsets (cached per path)."""
+    lib = get_lib()
+    assert lib is not None
+    path = lm.binary_path
+    with _LM_LOCK:
+        if path not in _LM_HANDLES:
+            lay = lm.layout
+            n_mid = max(lm.order - 2, 0)
+            mid_offs = (ctypes.c_int64 * max(n_mid, 1))(
+                *(([o for (o, _b) in lay["mid"]]) or [0]))
+            mid_buckets = (ctypes.c_int64 * max(n_mid, 1))(
+                *(([b for (_o, b) in lay["mid"]]) or [0]))
+            handle = lib.ssp_lm_load_probing(
+                path.encode(), lm.order, lay["uni_entries"],
+                lay["vocab_off"], lay["vocab_buckets"], lay["uni_off"],
+                mid_offs, mid_buckets, lay["longest_off"],
+                lay["longest_buckets"])
+            if handle == 0:
+                raise ValueError(
+                    f"native KenLM-binary load failed for {path}")
+            _LM_HANDLES[path] = handle
+        return _LM_HANDLES[path]
+
+
+def lm_handle(lm) -> int:
+    """Native handle for any supported LM object (ARPA or KenLM binary)."""
+    if getattr(lm, "binary_path", None) is not None:
+        return lm_load_probing(lm)
+    return lm_load(lm.path)
+
+
 def lm_score_word(path: str, context, word: str) -> float:
     lib = get_lib()
     handle = lm_load(path)
@@ -168,13 +210,15 @@ def lm_score_word(path: str, context, word: str) -> float:
 
 
 def ctc_beam_decode_lm(log_probs: np.ndarray, charset: str, blank_id: int,
-                       lm_path: str, beam_width: int = 100,
+                       lm_or_path, beam_width: int = 100,
                        alpha: float = 1.5, beta: float = 1.85,
                        prune_logp: float = -18.0):
-    """Native LM-fused prefix beam search (ARPA word n-gram)."""
+    """Native LM-fused prefix beam search (ARPA text or KenLM probing
+    binary word n-gram; pass the LM object or an ARPA path)."""
     lib = get_lib()
     assert lib is not None
-    handle = lm_load(lm_path)
+    handle = lm_load(lm_or_path) if isinstance(lm_or_path, str) \
+        else lm_handle(lm_or_path)
     lp = np.ascontiguousarray(log_probs, dtype=np.float64)
     t, k = lp.shape
     out = np.zeros(t, dtype=np.int32)
