@@ -90,6 +90,10 @@ class DataConfig:
     # assembled on device (data/device_cache.py). Requires fixed_shapes;
     # currently single-device meshes only.
     device_cache: bool = True
+    # cache-build featurization: "jax" runs the batched masked device DSP
+    # pipeline (data/jax_featurize.py); "host" uses the per-utterance
+    # scipy/numpy path (data/dataset.py)
+    cache_featurize: str = "jax"
 
 
 @dataclass

@@ -97,3 +97,52 @@ def jax_filtfilt(b, a, x: jnp.ndarray) -> jnp.ndarray:
     y = _filtfilt_impl(x, tuple(np.atleast_1d(b).tolist()),
                        tuple(np.atleast_1d(a).tolist()))
     return y[:, 0] if squeeze else y
+
+
+@partial(jax.jit, static_argnames=("b", "a"))
+def _filtfilt_masked_impl(x: jnp.ndarray, length: jnp.ndarray,
+                          b: Tuple[float, ...], a: Tuple[float, ...]
+                          ) -> jnp.ndarray:
+    """filtfilt over the valid prefix of a fixed-size buffer.
+
+    ``x`` is (T_pad, C), zero beyond ``length``; rows ``[0, length)`` of the
+    output are BIT-IDENTICAL to ``_filtfilt_impl(x[:length])`` (same f32
+    op sequence — the odd extensions, reversals, and crop become clipped
+    gathers/scatters at the dynamic boundary), rows beyond are zero. This
+    is what lets variable-length utterances batch into one jit region for
+    the on-device corpus featurizer (requires length > 3·ntaps).
+    """
+    bn, an = _normalize_ba(b, a)
+    padlen = 3 * max(len(bn), len(an))
+    t_pad = x.shape[0]
+    zero = jnp.zeros((padlen,) + x.shape[1:], x.dtype)
+
+    front = 2 * x[0:1] - x[1: padlen + 1][::-1]
+    ext = jnp.concatenate([front, x, zero], axis=0)  # (t_pad + 2·padlen, C)
+    j = jnp.arange(padlen)
+    last = x[jnp.clip(length - 1, 0, t_pad - 1)]
+    back = 2 * last[None, :] - x[jnp.clip(length - 2 - j, 0, t_pad - 1)]
+    ext = ext.at[padlen + length + j].set(back)
+
+    zi = jnp.asarray(lfilter_zi(bn, an), x.dtype)
+    y = jax_lfilter(bn, an, ext, zi[:, None] * ext[0:1])
+
+    total = length + 2 * padlen
+    t = jnp.arange(t_pad + 2 * padlen)
+    y_rev = jnp.where((t < total)[:, None],
+                      y[jnp.clip(total - 1 - t, 0, t_pad + 2 * padlen - 1)],
+                      0.0)
+    y2 = jax_lfilter(bn, an, y_rev, zi[:, None] * y_rev[0:1])
+
+    tp = jnp.arange(t_pad)
+    out = y2[jnp.clip(length + padlen - 1 - tp, 0,
+                      t_pad + 2 * padlen - 1)]
+    return jnp.where((tp < length)[:, None], out, 0.0)
+
+
+def jax_filtfilt_masked(b, a, x: jnp.ndarray, length) -> jnp.ndarray:
+    """Masked zero-phase filtering of a (T_pad, C) buffer whose valid
+    prefix is ``length`` rows (see :func:`_filtfilt_masked_impl`)."""
+    return _filtfilt_masked_impl(
+        x, jnp.asarray(length, jnp.int32),
+        tuple(np.atleast_1d(b).tolist()), tuple(np.atleast_1d(a).tolist()))

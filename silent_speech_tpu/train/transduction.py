@@ -464,13 +464,14 @@ class TransductionTrainer:
 
         corpus = None
         if self.cfg.data.device_cache and self.cfg.data.fixed_shapes:
-            from ..data.device_cache import DeviceCorpus
+            from ..data.jax_featurize import build_device_corpus
 
-            logging.info("building HBM corpus cache (%d examples)",
-                         len(trainset))
-            corpus = DeviceCorpus.build(
-                [trainset[i] for i in range(len(trainset))],
-                mesh=self.mesh)
+            logging.info("building HBM corpus cache (%d examples, "
+                         "%s featurization)", len(trainset),
+                         self.cfg.data.cache_featurize)
+            corpus = build_device_corpus(
+                trainset, mesh=self.mesh,
+                featurize=self.cfg.data.cache_featurize)
 
         for epoch in range(start_epoch, epochs):
             losses = []

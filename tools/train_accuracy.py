@@ -1,0 +1,290 @@
+"""Trained-model accuracy artifact (VERDICT round-2 item 2).
+
+Trains both model families to OVERFIT the synthetic corpus end-to-end and
+measures accuracy through the REAL eval paths:
+
+- recognition: ``RecognitionTrainer.fit`` (the reference CTC loop) until
+  held-in WER through the production decode — batched logits → native
+  LM-fused beam search (ARPA built from the corpus texts), α=1.5/β=1.85 —
+  reaches ≤ 5%, proving the system *learns*, not just steps
+  (``recognition_model.py:30-58`` semantics).
+- transduction: ``TransductionTrainer.fit`` to convergence on the DTW
+  loss, then the full ``evaluate.py`` loop: EnsemblePredictor loss +
+  phoneme accuracy, HiFi-GAN vocoding of every dev utterance to wav, and
+  the ASR WER judge (``evaluate.py:36-64`` semantics). The judge here is
+  the offline tiny-wav2vec TransformersASR stand-in and the vocoder is a
+  fabricated checkpoint (the env has no DeepSpeech models, no released
+  HiFi-GAN weights, and no egress), so the synthesis WER documents the
+  PATH, not a publishable number — the recognition WER is the accuracy
+  claim.
+
+Writes docs/ACCURACY.json + docs/ACCURACY.md.
+Run: python tools/train_accuracy.py [max_recognition_epochs]
+"""
+import json
+import math
+import os
+import sys
+import tempfile
+import time
+from collections import Counter
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+from silent_speech_tpu.utils.platform import force_cpu  # noqa: E402
+
+force_cpu(1)
+
+import numpy as np  # noqa: E402
+
+
+def build_arpa(texts, path, k=0.5):
+    """Bigram ARPA with add-k smoothing over the corpus vocabulary."""
+    uni = Counter()
+    bi = Counter()
+    for t in texts:
+        words = t.split()
+        uni.update(["<s>", "</s>"] + words)
+        prev = "<s>"
+        for w in words + ["</s>"]:
+            bi[(prev, w)] += 1
+            prev = w
+    vocab = sorted(uni)
+    v = len(vocab) + 1  # + <unk>
+    total = sum(uni.values())
+    lines = ["\\data\\", f"ngram 1={len(vocab) + 1}",
+             f"ngram 2={len(bi)}", "", "\\1-grams:"]
+    lines.append(f"{math.log10(k / (total + k * v)):.6f}\t<unk>")
+    for w in vocab:
+        p = (uni[w] + k) / (total + k * v)
+        lines.append(f"{math.log10(p):.6f}\t{w}\t-0.301030")
+    lines += ["", "\\2-grams:"]
+    for (a, b), c in sorted(bi.items()):
+        p = (c + k) / (uni[a] + k * v)
+        lines.append(f"{math.log10(p):.6f}\t{a} {b}")
+    lines += ["", "\\end\\", ""]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    return path
+
+
+def tiny_asr():
+    """Offline tiny wav2vec2 CTC judge (tests/test_eval.py fixture)."""
+    import torch
+    import transformers
+
+    vocab = {c: i for i, c in enumerate(
+        ["<pad>", "<s>", "</s>", "<unk>", "|"]
+        + [chr(ord("a") + i) for i in range(26)])}
+    with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                     delete=False) as f:
+        json.dump(vocab, f)
+        vocab_file = f.name
+    tok = transformers.Wav2Vec2CTCTokenizer(
+        vocab_file, pad_token="<pad>", word_delimiter_token="|")
+    fe = transformers.Wav2Vec2FeatureExtractor(
+        feature_size=1, sampling_rate=16000, padding_value=0.0,
+        do_normalize=True, return_attention_mask=False)
+    processor = transformers.Wav2Vec2Processor(feature_extractor=fe,
+                                               tokenizer=tok)
+    cfg = transformers.Wav2Vec2Config(
+        vocab_size=len(vocab), hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=64,
+        conv_dim=(16, 16), conv_stride=(5, 2), conv_kernel=(10, 3),
+        num_feat_extract_layers=2)
+    torch.manual_seed(0)
+    model = transformers.Wav2Vec2ForCTC(cfg).eval()
+    from silent_speech_tpu.eval.asr import TransformersASR
+
+    return TransformersASR(model=model, processor=processor)
+
+
+def main(max_epochs=160):
+    import jax
+
+    from silent_speech_tpu.config import Config
+    from silent_speech_tpu.data.dataset import EMGDataset
+    from silent_speech_tpu.data.synthetic import generate_corpus
+    from silent_speech_tpu.parallel.mesh import make_mesh
+    from silent_speech_tpu.train.recognition import RecognitionTrainer
+    from silent_speech_tpu.train.transduction import TransductionTrainer
+
+    work = tempfile.mkdtemp(prefix="accuracy_run_")
+    corpus = generate_corpus(os.path.join(work, "corpus"),
+                             n_voiced_sessions=2, n_silent_sessions=1,
+                             utterances_per_session=8, seed=42)
+
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    out = {"corpus": "synthetic seed=42, 2 voiced + 1 silent sessions "
+                     "x 8 utterances"}
+
+    # ================= recognition =====================================
+    cfg = Config()
+    cfg.data = corpus
+    cfg.model.model_size = 64
+    cfg.model.num_layers = 2
+    cfg.model.dim_feedforward = 512
+    cfg.model.num_heads = 8
+    cfg.model.dropout = 0.0          # overfit on purpose
+    cfg.model.shift_augment = False
+    cfg.model.compute_dtype = "float32"
+    cfg.data.t_cap = 512
+    cfg.data.utt_cap = 16
+    cfg.recognition.learning_rate = 1e-3
+    cfg.recognition.learning_rate_warmup = 100
+    cfg.recognition.output_directory = os.path.join(work, "rec")
+    cfg.recognition.beam_width = 50
+
+    trainset = EMGDataset(corpus, dev=False, test=False)
+    texts = [trainset.example_meta(i)["text"]
+             for i in range(len(trainset))]
+    lm_path = build_arpa(texts, os.path.join(work, "lm.arpa"))
+    cfg.recognition.lm_path = lm_path
+
+    rec = RecognitionTrainer(cfg, mesh=mesh)
+    wer_curve = []
+    t0 = time.time()
+    total = 0
+    target = 0.05
+    while total < max_epochs:
+        chunk = 20
+        rec.fit(trainset, trainset, epochs=total + chunk, seed=0,
+                resume=total > 0)
+        total += chunk
+        w = rec.evaluate_wer(trainset, beam=True)
+        wer_curve.append({"epoch": total, "heldin_wer": round(w, 4)})
+        print(f"[rec] epoch {total}: held-in beam+LM WER "
+              f"{w * 100:.2f}% ({time.time() - t0:.0f}s)", flush=True)
+        if w <= target:
+            break
+    w_greedy = rec.evaluate_wer(trainset, beam=False)
+    out["recognition"] = {
+        "epochs": total,
+        "heldin_wer_beam_lm": wer_curve[-1]["heldin_wer"],
+        "heldin_wer_greedy": round(w_greedy, 4),
+        "wer_curve": wer_curve,
+        "decode": "batched logits -> native LM-fused beam "
+                  f"(beam=50, ARPA bigram over corpus texts, "
+                  "alpha=1.5 beta=1.85)",
+        "target_met": wer_curve[-1]["heldin_wer"] <= target,
+    }
+
+    # ================= transduction ====================================
+    tcfg = Config()
+    tcfg.data = corpus
+    tcfg.model.model_size = 64
+    tcfg.model.num_layers = 2
+    tcfg.model.dim_feedforward = 512
+    tcfg.model.dropout = 0.0
+    tcfg.model.shift_augment = False
+    tcfg.model.compute_dtype = "float32"
+    tcfg.data.t_cap = 512
+    tcfg.data.utt_cap = 16
+    tcfg.transduction.learning_rate = 1e-3
+    tcfg.transduction.output_directory = os.path.join(work, "trans")
+
+    trans = TransductionTrainer(tcfg, mesh=mesh)
+    devset = EMGDataset(corpus, dev=True)
+    t0 = time.time()
+    trans.fit(trainset, devset, epochs=40, seed=0)
+    loss_curve = []
+    log_path = os.path.join(tcfg.transduction.output_directory, "log.txt")
+    with open(log_path) as f:
+        for line in f:
+            if "finished epoch" in line and "validation loss" in line:
+                parts = line.strip().split()
+                loss_curve.append(float(parts[-1]))
+    print(f"[trans] 40 epochs in {time.time() - t0:.0f}s; "
+          f"val loss {loss_curve[0]:.3f} -> {loss_curve[-1]:.3f}",
+          flush=True)
+
+    # full evaluate.py loop: ensemble eval + vocode + ASR judge
+    from silent_speech_tpu.eval.synthesis import EnsemblePredictor
+    from silent_speech_tpu.models.hifigan import Vocoder, HiFiGANConfig
+    from silent_speech_tpu.utils.audio_io import write_wav
+    from silent_speech_tpu.eval.asr import evaluate as asr_evaluate
+    from hifigan_util import write_tiny_checkpoint
+
+    ensemble = EnsemblePredictor(
+        base=trans, states=[(trans.state.params,
+                             trans.state.batch_stats)])
+    ev_loss, ev_acc, _conf = ensemble.evaluate(devset)
+
+    hcfg = HiFiGANConfig(
+        upsample_rates=(8, 8, 2, 2), upsample_kernel_sizes=(16, 16, 4, 4),
+        upsample_initial_channel=32, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3, 5),))
+    ck = write_tiny_checkpoint(os.path.join(work, "voc"), hcfg)
+    vocoder = Vocoder(ck)
+    wav_dir = os.path.join(work, "wavs")
+    os.makedirs(wav_dir, exist_ok=True)
+    for i in range(len(devset)):
+        dp = devset[i]
+        mel = devset.mfcc_norm.inverse(ensemble.predict(dp))
+        audio = vocoder(mel)
+        write_wav(os.path.join(wav_dir, f"example_output_{i}.wav"),
+                  np.asarray(audio), 22050)
+    synth_wer = asr_evaluate(devset, wav_dir, asr=tiny_asr())
+
+    out["transduction"] = {
+        "epochs": 40,
+        "val_loss_curve": [round(x, 4) for x in loss_curve],
+        "dev_loss": round(float(ev_loss), 4),
+        "dev_phoneme_accuracy": round(float(ev_acc), 4),
+        "synthesis_wer": round(float(synth_wer), 4),
+        "synthesis_note": "full evaluate.py path (ensemble -> mel -> "
+                          "HiFi-GAN -> wav -> ASR judge); fabricated "
+                          "vocoder + offline tiny ASR stand-in, so this "
+                          "WER documents the path, not fidelity",
+    }
+
+    os.makedirs("docs", exist_ok=True)
+    with open("docs/ACCURACY.json", "w") as f:
+        json.dump(out, f, indent=1)
+
+    r = out["recognition"]
+    t = out["transduction"]
+    with open("docs/ACCURACY.md", "w") as f:
+        f.write(f"""# Trained-model accuracy (synthetic corpus)
+
+First end-to-end accuracy artifact (VERDICT round-2 item 2): both model
+families trained in this framework until they demonstrably LEARN, with
+accuracy measured through the real eval paths.
+
+## Recognition (EMG -> text, CTC)
+
+Overfit target: held-in WER <= 5% through the production decode
+(batched masked logits -> native LM-fused beam, beam=50, ARPA bigram
+over the corpus texts, alpha=1.5/beta=1.85 — recognition_model.py:30-58
+semantics).
+
+- epochs: {r['epochs']}
+- **held-in WER (beam+LM): {r['heldin_wer_beam_lm'] * 100:.2f}%**
+- held-in WER (greedy): {r['heldin_wer_greedy'] * 100:.2f}%
+- curve: {json.dumps(r['wer_curve'])}
+
+## Transduction (EMG -> speech)
+
+40 epochs of the reference DTW-loss loop, then the full evaluate.py
+pipeline (EnsemblePredictor -> per-utterance mel -> HiFi-GAN -> wav ->
+ASR judge, evaluate.py:36-64 semantics).
+
+- dev loss: {t['dev_loss']} (val curve {t['val_loss_curve'][0]} ->
+  {t['val_loss_curve'][-1]})
+- dev phoneme accuracy: {t['dev_phoneme_accuracy'] * 100:.1f}%
+- synthesis WER through the full path: {t['synthesis_wer'] * 100:.1f}%
+  ({t['synthesis_note']})
+
+Caveats: the corpus is synthetic (EMG is random noise, so recognition
+accuracy = memorization capacity, which is exactly what the overfit
+test certifies); no DeepSpeech/HiFi-GAN release weights exist in this
+environment, so the synthesis WER exercises the full path with stand-in
+models rather than producing a publishable number.
+""")
+    print(json.dumps({k: v for k, v in out.items() if k != "corpus"},
+                     indent=1))
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 160)
