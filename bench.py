@@ -12,13 +12,19 @@ the reference PyTorch pipeline on its single-GPU setup (the reference
 publishes no speed numbers, SURVEY.md §6): per step it runs a ~57M-param
 encoder fwd+bwd over ~22k frames plus a *host* numba DTW per silent
 utterance with a device sync (~10 silent × ~5-10 ms, serialized with the
-GPU). 3 steps/s is a deliberately generous estimate for that loop on a
-modern GPU; the driver's BASELINE.json target is ≥5× that **on v5e-8**
+GPU). The denominator's measured basis (tools/bench_reference_floor.py,
+docs/REFERENCE_FLOOR.json): the genuine reference model + replica step
+runs at **0.0016 steps/s on this host's CPU** (634.8 s/step, 1 core) —
+the floor on available hardware. The FLOPs-derived single-GPU estimate:
+~9 TFLOP/step ÷ (2080Ti-class ~13.4 TFLOP/s fp32 × ~35% achievable on
+this mixed conv/attention/eager loop) ≈ 2 steps/s, before the serialized
+host-DTW syncs; 3.0 steps/s is therefore a deliberately GENEROUS
+denominator. The driver's BASELINE.json target is ≥5× that **on v5e-8**
 (8 chips). This bench runs on the single available chip, where the
 measured GEMM roofline (~134-140 TFLOP/s, tools/prof_gemm.py) bounds
-this architecture's ~9 TFLOP step at ~85 ms — the single-chip number
-is within ~10% of that light speed; the 5× aggregate comes from the
-data-parallel mesh path validated in the multichip dryrun.
+this architecture's ~9 TFLOP step at ~85 ms; the 5× aggregate comes from
+the data-parallel mesh path validated in the multichip dryrun. The
+recorded number is a 3-trial median.
 """
 
 import json
@@ -108,11 +114,14 @@ def main():
     float(metrics["loss"][-1])
 
     n_waves = 8
-    t0 = time.time()
-    for i in range(n_waves):
-        metrics = one_wave(i)
-    float(metrics["loss"][-1])
-    dt = time.time() - t0
+    trials = []
+    for _ in range(3):
+        t0 = time.time()
+        for i in range(n_waves):
+            metrics = one_wave(i)
+        float(metrics["loss"][-1])
+        trials.append(time.time() - t0)
+    dt = sorted(trials)[1]  # median of 3
 
     steps_per_sec = n_waves * wave / dt
     print(json.dumps({

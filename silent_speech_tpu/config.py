@@ -109,6 +109,9 @@ class TransductionTrainConfig:
     data_size_fraction: float = 1.0
     phoneme_loss_weight: float = 0.5
     l2: float = 1e-7
+    # Adam moment storage: bfloat16 cuts optimizer HBM traffic ~30%
+    # (train/state.py fused_adamw); "float32" = bit-exact optax/torch
+    moment_dtype: str = "bfloat16"
     output_directory: str = "output"
     # Length-packed batch capacity in raw-recording EMG samples
     # (``transduction_model.py:166``).
@@ -126,6 +129,7 @@ class RecognitionTrainConfig:
     learning_rate_patience: int = 5
     start_training_from: Optional[str] = None
     l2: float = 0.0
+    moment_dtype: str = "bfloat16"  # see TransductionTrainConfig
     output_directory: str = "output"
     evaluate_saved: Optional[str] = None
     debug: bool = False

@@ -72,7 +72,8 @@ class RecognitionTrainer:
             fused_attention=cfg.model.fused_attention,
             dtype=dtype)
         self.tx = make_adamw(weight_decay=cfg.recognition.l2,
-                             grad_accum=cfg.recognition.grad_accum)
+                             grad_accum=cfg.recognition.grad_accum,
+                             moment_dtype=cfg.recognition.moment_dtype)
         self.state: Optional[TrainState] = None
         self._train_step = self._build_train_step()
         self._cache_step = self._build_cache_step()

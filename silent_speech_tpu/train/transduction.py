@@ -76,7 +76,8 @@ class TransductionTrainer:
             remat_layers=cfg.model.remat_layers,
             fused_attention=cfg.model.fused_attention,
             dtype=dtype)
-        self.tx = make_adamw(weight_decay=cfg.transduction.l2)
+        self.tx = make_adamw(weight_decay=cfg.transduction.l2,
+                             moment_dtype=cfg.transduction.moment_dtype)
         self.state: Optional[TrainState] = None
         self._train_step = self._build_train_step()
         self._wave_step = self._build_wave_step()

@@ -128,3 +128,26 @@ def test_generator_parity_with_torch_oracle():
                            jnp.asarray(mel), cfg)
     assert ours.shape == expected.shape
     np.testing.assert_allclose(np.asarray(ours), expected, atol=2e-4)
+
+
+def test_vocoder_param_cache_torch_free(tmp_path, monkeypatch):
+    """First Vocoder load converts the torch checkpoint and writes an
+    orbax cache; subsequent loads work with torch unimportable
+    (round-2 VERDICT weak item 6)."""
+    import os
+    import sys
+
+    from hifigan_util import write_tiny_checkpoint
+    from silent_speech_tpu.models.hifigan import Vocoder
+
+    ck = write_tiny_checkpoint(str(tmp_path / "voc"), SMALL)
+    v1 = Vocoder(ck)
+    mel = np.random.default_rng(0).normal(
+        size=(12, SMALL.num_mels)).astype(np.float32)
+    a1 = v1(mel)
+    assert os.path.isdir(ck + ".jax")
+
+    monkeypatch.setitem(sys.modules, "torch", None)  # import torch -> fail
+    v2 = Vocoder(ck)
+    a2 = v2(mel)
+    np.testing.assert_allclose(a1, a2, atol=1e-6)

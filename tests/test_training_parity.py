@@ -212,6 +212,7 @@ def test_training_loss_trajectory_matches_reference(ref_modules, corpus):
     cfg.data.fixed_shapes = False
     cfg.data.chunk_bucket = 1  # BN sees exactly the reference's chunks
     cfg.transduction.l2 = wd
+    cfg.transduction.moment_dtype = "float32"  # bit-exact optax parity
 
     mesh = make_mesh(1, 1, devices=jax.devices()[:1])
     trainer = TransductionTrainer(cfg, mesh=mesh)

@@ -134,6 +134,7 @@ def run_ours_ctc(corpus, example_batches, init_state_dict, *, n_steps,
     cfg.data.chunk_bucket = 1
     cfg.recognition.l2 = wd
     cfg.recognition.grad_accum = 2
+    cfg.recognition.moment_dtype = "float32"  # bit-exact optax parity
 
     params, stats = torch_to_flax(init_state_dict, num_layers=num_layers)
     mesh = make_mesh(1, 1, devices=jax.devices()[:1])

@@ -112,6 +112,7 @@ def main(n_steps=60):
     cfg.data.fixed_shapes = False
     cfg.data.chunk_bucket = 1
     cfg.transduction.l2 = wd
+    cfg.transduction.moment_dtype = "float32"
 
     mesh = make_mesh(1, 1, devices=jax.devices()[:1])
     trainer = TransductionTrainer(cfg, mesh=mesh)
