@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.dropout import RegenDropout
+from ..ops.dropout import RegenDropout, dropout_threshold, relu_dropout
 
 NEG_INF = -1e8  # matches the reference's out-of-range logit offset
 
@@ -241,8 +241,13 @@ class TransformerEncoderLayer(nn.Module):
 
         h = nn.Dense(self.dim_feedforward, dtype=self.dtype,
                      name="linear1")(x)
-        h = nn.relu(h)
-        h = RegenDropout(self.dropout)(h, deterministic=deterministic)
+        t = dropout_threshold(self.dropout)
+        if deterministic or t == 0:
+            h = nn.relu(h)
+        else:
+            # fused relu+dropout: backward derives the joint mask from
+            # the saved output sign — no RNG regen on the widest tensor
+            h = relu_dropout(h, self.make_rng("dropout"), t)
         h = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
         x = x + RegenDropout(self.dropout)(h, deterministic=deterministic)
         x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)

@@ -57,6 +57,37 @@ def dropout_threshold(rate: float) -> int:
     return int(round(rate * 256.0))
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def relu_dropout(x: jnp.ndarray, key, drop_threshold: int) -> jnp.ndarray:
+    """Fused ``dropout(relu(x))`` whose backward needs NO random bits.
+
+    After relu, the forward output's sign already encodes the joint
+    relu+dropout mask: ``y > 0`` iff (kept AND x > 0), and elements with
+    x <= 0 have zero gradient regardless of the mask. The backward is
+    therefore ``g * scale * (y > 0)`` over the saved output — which XLA
+    must keep anyway as the following matmul's weight-gradient operand —
+    eliminating the regenerated mask draw in the backward pass (the
+    single largest RNG site: the FFN hidden layer is 4x the residual
+    width). Gradient is bit-identical to ``regen_dropout(relu(x))``
+    except for kept positives that underflow to 0 in the output dtype.
+    """
+    return _mask_scale(jax.nn.relu(x), key, drop_threshold)
+
+
+def _rd_fwd(x, key, drop_threshold):
+    y = _mask_scale(jax.nn.relu(x), key, drop_threshold)
+    return y, y
+
+
+def _rd_bwd(drop_threshold, y, g):
+    scale = 1.0 / (1.0 - drop_threshold / 256.0)
+    return (jnp.where(y > 0, g * jnp.asarray(scale, g.dtype),
+                      jnp.zeros((), g.dtype)), None)
+
+
+relu_dropout.defvjp(_rd_fwd, _rd_bwd)
+
+
 class RegenDropout(nn.Module):
     """Drop-in replacement for ``nn.Dropout`` backed by regen_dropout."""
 

@@ -62,3 +62,45 @@ def test_zero_rate_identity():
     m = RegenDropout(0.0)
     y = m.apply({}, x, False, rngs={"dropout": jax.random.PRNGKey(0)})
     np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+def test_relu_dropout_matches_composition():
+    """relu_dropout == regen_dropout(relu(x)) bit-for-bit in fwd AND grad
+    (same key -> same bits; backward mask derived from the output sign)."""
+    from silent_speech_tpu.ops.dropout import relu_dropout
+
+    key = jax.random.PRNGKey(9)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(256, 128)),
+                    jnp.float32)
+    t = 51
+
+    f_fused = jax.jit(lambda x: relu_dropout(x, key, t))
+    f_comp = jax.jit(lambda x: regen_dropout(jax.nn.relu(x), key, t))
+    np.testing.assert_array_equal(np.asarray(f_fused(x)),
+                                  np.asarray(f_comp(x)))
+
+    g_fused = np.asarray(jax.jit(jax.grad(
+        lambda x: jnp.sum(jnp.sin(relu_dropout(x, key, t)))))(x))
+    g_comp = np.asarray(jax.jit(jax.grad(
+        lambda x: jnp.sum(jnp.sin(regen_dropout(
+            jax.nn.relu(x), key, t)))))(x))
+    np.testing.assert_array_equal(g_fused, g_comp)
+
+
+def test_relu_dropout_bf16():
+    from silent_speech_tpu.ops.dropout import relu_dropout
+
+    key = jax.random.PRNGKey(2)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(64, 64)),
+                    jnp.bfloat16)
+    y = relu_dropout(x, key, 51)
+    assert y.dtype == jnp.bfloat16
+    g = jax.grad(lambda x: jnp.sum(
+        relu_dropout(x, key, 51).astype(jnp.float32)))(x)
+    assert g.dtype == jnp.bfloat16
+    y_np = np.asarray(y.astype(jnp.float32))
+    g_np = np.asarray(g.astype(jnp.float32))
+    scale = 1.0 / (1 - 51 / 256)
+    assert set(np.unique(g_np[y_np > 0])) <= {np.float32(np.float32(
+        jnp.bfloat16(scale)))}
+    assert (g_np[y_np == 0] == 0).all()
