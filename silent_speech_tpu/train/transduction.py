@@ -114,7 +114,8 @@ class TransductionTrainer:
                     rngs={"shift": shift_rng, "dropout": dropout_rng},
                     mutable=True)
                 out = transduction_loss(pred, phone, batch, w,
-                                        n_silent=n_silent)
+                                        n_silent=n_silent,
+                                        matmul_dtype=self.dtype)
                 return out.loss, (mutated["batch_stats"], out)
 
             (loss, (bs, out)), grads = jax.value_and_grad(
@@ -147,7 +148,8 @@ class TransductionTrainer:
                     rngs={"shift": shift_rng, "dropout": dropout_rng},
                     mutable=True)
                 out = transduction_loss(pred, phone, batch, w,
-                                        n_silent=n_silent)
+                                        n_silent=n_silent,
+                                        matmul_dtype=self.dtype)
                 return out.loss, (mutated["batch_stats"], out)
 
             (loss, (bs, out)), grads = jax.value_and_grad(
@@ -199,7 +201,8 @@ class TransductionTrainer:
                     rngs={"shift": shift_rng, "dropout": dropout_rng},
                     mutable=True)
                 out = transduction_loss(pred, phone, batch, w,
-                                        n_silent=n_silent)
+                                        n_silent=n_silent,
+                                        matmul_dtype=self.dtype)
                 return out.loss, (mutated["batch_stats"], out)
 
             (loss, (bs, out)), grads = jax.value_and_grad(
@@ -245,7 +248,8 @@ class TransductionTrainer:
                               "dropout": dropout_rng},
                         mutable=True)
                     out = transduction_loss(pred, phone, batch, w_loss,
-                                            n_silent=n_silent)
+                                            n_silent=n_silent,
+                                            matmul_dtype=self.dtype)
                     return out.loss, (mutated["batch_stats"], out)
 
                 (loss, (bs, out)), grads = jax.value_and_grad(
