@@ -97,7 +97,8 @@ def main():
 
     # W train steps per dispatch: lax.scan over the id wave against the
     # HBM-resident corpus amortizes the remote-dispatch latency
-    wave = 4
+    # (cfg.data.wave_size production default)
+    wave = 16
 
     def one_wave(i):
         groups = [id_sets[(i + j) % 4] for j in range(wave)]
@@ -113,7 +114,7 @@ def main():
         metrics = one_wave(i)
     float(metrics["loss"][-1])
 
-    n_waves = 8
+    n_waves = 2
     trials = []
     for _ in range(3):
         t0 = time.time()

@@ -84,7 +84,7 @@ class DataConfig:
     # on-device slicing. Amortizes transfer latency (remote-device links
     # serialize uploads against in-flight compute). 1 = per-step transfers.
     # Only used when the HBM corpus cache is off.
-    wave_size: int = 8
+    wave_size: int = 16
     # HBM-resident corpus cache: upload the featurized corpus once; each
     # step ships only a (U,) utterance-id vector and the packed batch is
     # assembled on device (data/device_cache.py). Requires fixed_shapes;
@@ -267,7 +267,7 @@ def define_flags() -> None:
                            " / 128000 recognition)")
     _i("t_cap", 1024, "fixed-shape cap on per-utterance frames")
     _i("utt_cap", 64, "fixed-shape cap on utterances per batch")
-    _i("wave_size", 8, "train steps fused per device dispatch (lax.scan "
+    _i("wave_size", 16, "train steps fused per device dispatch (lax.scan "
                        "over the HBM corpus cache; also the host-path "
                        "upload wave length)")
 

@@ -43,6 +43,10 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         def bn(name):
+            # f32 BN measured FASTER than dtype=self.dtype here (89.6 vs
+            # 95.4 ms/step): bf16 BN still reduces stats in f32
+            # (force_float32_reductions) so it only adds casts and breaks
+            # the conv→BN→relu fusion XLA finds for the uniform-f32 chain
             return nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 axis_name=self.bn_axis_name if train else None,
@@ -141,9 +145,13 @@ class EMGEncoder(nn.Module):
                  else layer(h, segment_ids=segment_ids,
                             deterministic=not train))
 
-        out = nn.Dense(self.num_outs, dtype=jnp.float32, name="w_out")(h)
+        # heads matmul in the compute dtype (bf16 operands run the MXU at
+        # full rate and skip an f32 upcast pass of h); results are emitted
+        # in f32 for the losses/eval consumers
+        out = nn.Dense(self.num_outs, dtype=self.dtype,
+                       name="w_out")(h).astype(jnp.float32)
         if self.num_aux_outs is not None:
-            aux = nn.Dense(self.num_aux_outs, dtype=jnp.float32,
-                           name="w_aux")(h)
+            aux = nn.Dense(self.num_aux_outs, dtype=self.dtype,
+                           name="w_aux")(h).astype(jnp.float32)
             return out, aux
         return out

@@ -31,6 +31,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.dropout import RegenDropout, dropout_threshold, relu_dropout
+from ..ops.fused_norm import FusedResidualNorm
 
 NEG_INF = -1e8  # matches the reference's out-of-range logit offset
 
@@ -235,9 +236,11 @@ class TransformerEncoderLayer(nn.Module):
             max_dist=self.max_dist, dtype=self.dtype, fused=self.fused,
             name="self_attn",
         )(x, segment_ids=segment_ids, deterministic=deterministic)
-        x = x + RegenDropout(self.dropout)(attn_out,
-                                         deterministic=deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        # residual dropout + add + LayerNorm fused into one custom-VJP op
+        # (saves only x̂/rstd; backward regenerates the mask in-pass) —
+        # the unfused chain was ~10 ms/step across the 12 sites
+        x = FusedResidualNorm(rate=self.dropout, dtype=self.dtype,
+                              name="norm1")(x, attn_out, deterministic)
 
         h = nn.Dense(self.dim_feedforward, dtype=self.dtype,
                      name="linear1")(x)
@@ -249,6 +252,6 @@ class TransformerEncoderLayer(nn.Module):
             # the saved output sign — no RNG regen on the widest tensor
             h = relu_dropout(h, self.make_rng("dropout"), t)
         h = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
-        x = x + RegenDropout(self.dropout)(h, deterministic=deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        x = FusedResidualNorm(rate=self.dropout, dtype=self.dtype,
+                              name="norm2")(x, h, deterministic)
         return x

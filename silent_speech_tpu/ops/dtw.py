@@ -150,7 +150,9 @@ def dtw_align_batch(costs: jnp.ndarray, n1: jnp.ndarray, n2: jnp.ndarray
         from .pallas.dtw_kernel import pallas_dtw_align_batch
 
         return pallas_dtw_align_batch(costs, n1, n2)
-    return dtw_align_batch_scan(costs, n1, n2)
+    # the DP must accumulate in f32 even when the caller stores the cost
+    # matrix in a reduced dtype (the Pallas path upcasts in its cumsum)
+    return dtw_align_batch_scan(costs.astype(jnp.float32), n1, n2)
 
 
 def align_from_distances_numpy(distance_matrix: np.ndarray) -> list:

@@ -55,6 +55,7 @@ Reference semantics: ``transformer.py:96-111``.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -141,9 +142,11 @@ def _softmax_drop(s_unmasked, valid, h, b, seed_ref, *, n_heads,
     if drop_threshold == 0:
         return p_soft, p_soft
     cell_seed = seed_ref[0] + b * n_heads + h
-    if _use_interpret():
+    if _use_interpret() or os.environ.get("SSTPU_KERNEL_HASH_DROP") == "1":
         # the CPU interpreters stub the TPU PRNG (zeros); a hash mixer
-        # keeps the semantics (deterministic per seed, uniform) testable
+        # keeps the semantics (deterministic per seed, uniform) testable.
+        # The env knob selects it on TPU too (A/B vs the hardware PRNG —
+        # fwd and bwd take the same branch, so the regen contract holds)
         bits = _hash_bits(p_soft.shape, cell_seed.astype(jnp.uint32))
     else:
         pltpu.prng_seed(cell_seed)

@@ -100,29 +100,57 @@ def transduction_loss(pred: jnp.ndarray, phoneme_pred: jnp.ndarray,
     tgt_mask = pos[None, :] < tgt_len[:, None]
 
     lsm = jax.nn.log_softmax(utt_phone, axis=-1)  # (U, T, 48)
-    phone_onehot = jax.nn.one_hot(y_phone, NUM_PHONES, dtype=lsm.dtype)
+    # target-phone log-probs by gather, NOT a (U, T, 48) one-hot einsum —
+    # the full-batch one-hot is 126 MB of f32 HBM traffic at bench shapes;
+    # one-hot is built only where a dense MXU contraction needs it (the
+    # silent slice) or for the eval-only confusion matrix
+    y_phone_idx = jnp.maximum(y_phone, 0)[..., None]     # (U, T, 1)
 
     # ---- silent path: DTW over combined cost (silent slice only) ------
     k = u if n_silent is None else min(max(n_silent, 0), u)
     if k > 0:
         md = matmul_dtype or jnp.float32
-        # build the cost matrix natively in DTW orientation (rows =
-        # target frames, reference aligns costs.T) — a (K, T, T) f32
-        # swapaxes is a 67 MB relayout per matrix otherwise
-        dists_t = pairwise_l2(y[:k], utt_pred[:k],
-                              matmul_dtype=md)     # (K, Ttgt, Tpred)
+        # The dense (K, Ttgt, Tpred) cost matrix exists ONLY to pick the
+        # alignment — it is built entirely under stop_gradient, so XLA
+        # saves no (K, T, T) residuals and runs no einsum VJPs / dense
+        # scatter in the backward pass (measured ~4 ms/step at the
+        # training batch size). The differentiable loss is recomputed
+        # sparsely along the alignment below from O(K·T·D) gathers.
+        # Built natively in DTW orientation (rows = target frames,
+        # reference aligns costs.T) — a (K, T, T) f32 swapaxes is a
+        # 67 MB relayout per matrix otherwise.
+        yk = jax.lax.stop_gradient(y[:k])
+        pk_ng = jax.lax.stop_gradient(utt_pred[:k])
+        lsm_ng = jax.lax.stop_gradient(lsm[:k])
+        dists_t = pairwise_l2(yk, pk_ng, matmul_dtype=md)  # (K, Ttgt, Tpred)
         # phone_lp_t[u, tt, tp] = lsm[u, tp, y_phone[u, tt]]
+        onehot_k = jax.nn.one_hot(y_phone[:k], NUM_PHONES, dtype=md)
         phone_lp_t = jnp.einsum(
-            "utk,upk->utp", phone_onehot[:k].astype(md),
-            lsm[:k].astype(md),
+            "utk,upk->utp", onehot_k, lsm_ng.astype(md),
             preferred_element_type=jnp.float32)
-        costs_t = dists_t + phoneme_loss_weight * (-phone_lp_t)
+        # the dense matrix only picks the path (values are recomputed
+        # along it below), so it is STORED in the matmul dtype — bf16
+        # halves its HBM footprint; the DP itself still accumulates in
+        # f32 (the kernel's cumsum / the scan path's upcast)
+        costs_t = (dists_t
+                   + phoneme_loss_weight * (-phone_lp_t)).astype(md)
         alignment_k, _ = dtw_align_batch(
-            jax.lax.stop_gradient(costs_t),
+            costs_t,
             jnp.maximum(tgt_len[:k], 1), jnp.maximum(utt_len[:k], 1))
-        # loss per target frame: costs_t[u, t, alignment[u, t]]
-        picked = jnp.take_along_axis(costs_t, alignment_k[:, :, None],
-                                     axis=2)[..., 0]  # (K, Ttgt)
+        # loss per target frame: costs_t[u, t, alignment[u, t]],
+        # recomputed from the aligned frame pairs (gradients flow through
+        # the gathers, not the dense matrix; same clip floor as
+        # pairwise_l2, value equal up to matmul-expansion rounding)
+        aligned_pred = jnp.take_along_axis(
+            utt_pred[:k], alignment_k[:, :, None], axis=1)  # (K, Ttgt, 80)
+        diff_k = y[:k] - aligned_pred
+        picked_dist = jnp.sqrt(jnp.clip(
+            jnp.sum(diff_k * diff_k, axis=-1), 1e-12, None))
+        aligned_lsm = jnp.take_along_axis(
+            lsm[:k], alignment_k[:, :, None], axis=1)       # (K, Ttgt, 48)
+        picked_lp = jnp.take_along_axis(
+            aligned_lsm, y_phone_idx[:k], axis=2)[..., 0]   # (K, Ttgt)
+        picked = picked_dist + phoneme_loss_weight * (-picked_lp)
         silent_k = jnp.sum(jnp.where(tgt_mask[:k], picked, 0.0), axis=1)
         silent_losses = jnp.pad(silent_k, (0, u - k))
         alignment = jnp.pad(alignment_k, ((0, u - k), (0, 0)))
@@ -134,7 +162,7 @@ def transduction_loss(pred: jnp.ndarray, phoneme_pred: jnp.ndarray,
     diff = y - utt_pred
     framewise = jnp.sqrt(jnp.clip(
         jnp.sum((diff + 1e-6) ** 2, axis=-1), 1e-12, None))  # (U, T)
-    ce = -jnp.einsum("utk,utk->ut", lsm, phone_onehot)        # (U, T)
+    ce = -jnp.take_along_axis(lsm, y_phone_idx, axis=2)[..., 0]  # (U, T)
     voiced_losses = jnp.sum(
         jnp.where(tgt_mask, framewise + phoneme_loss_weight * ce, 0.0),
         axis=1)
@@ -154,7 +182,8 @@ def transduction_loss(pred: jnp.ndarray, phoneme_pred: jnp.ndarray,
     if phoneme_eval:
         pred_oh = jax.nn.one_hot(eval_ids, NUM_PHONES)
         pred_oh = pred_oh * tgt_mask[..., None]
-        confusion = jnp.einsum("utp,utq->pq", pred_oh, phone_onehot)
+        tgt_oh = jax.nn.one_hot(y_phone, NUM_PHONES, dtype=lsm.dtype)
+        confusion = jnp.einsum("utp,utq->pq", pred_oh, tgt_oh)
 
     return TransductionLossOut(loss=loss, correct_phones=correct,
                                total_length=total_length,

@@ -24,7 +24,7 @@ def run_variant(name, mutate_cfg=None, mutate_trainer=None,
     orig_loss = tmod.transduction_loss
     if patch_loss:
         def mse_only(pred, phoneme_pred, batch, w=0.5, phoneme_eval=False,
-                     n_silent=None):
+                     n_silent=None, **kw):
             out = jnp.mean((pred.astype(jnp.float32)
                             - pred.shape[-1] * 0.01) ** 2)
             out = out + 1e-6 * jnp.mean(phoneme_pred.astype(jnp.float32)
@@ -95,6 +95,85 @@ VARIANTS = {
     "noshift": dict(mutate_cfg=no_shift),
 }
 
+
+def _patch_identity_bn():
+    """Replace flax BatchNorm with identity (isolates BN cost; convs stay)."""
+    from flax import linen as nn
+
+    class IdentityBN(nn.Module):
+        use_running_average: bool = True
+        momentum: float = 0.9
+        epsilon: float = 1e-5
+        axis_name: object = None
+        dtype: object = None
+
+        @nn.compact
+        def __call__(self, x):
+            return x
+
+    orig = nn.BatchNorm
+    nn.BatchNorm = IdentityBN
+    return orig
+
+
+def _patch_identity_ln():
+    """Replace flax LayerNorm with identity (isolates transformer LN cost)."""
+    from flax import linen as nn
+
+    class IdentityLN(nn.Module):
+        dtype: object = None
+
+        @nn.compact
+        def __call__(self, x):
+            return x
+
+    orig = nn.LayerNorm
+    nn.LayerNorm = IdentityLN
+    return orig
+
+
+def _patch_no_attn_dropout():
+    """Disable only the fused attention kernel's in-kernel probs dropout."""
+    import silent_speech_tpu.ops.pallas.rel_attention as ra
+    orig = ra.fused_rel_attention
+
+    def f(q, k, v, e, seed, m, thresh):
+        return orig(q, k, v, e, seed, m, 0)
+    ra.fused_rel_attention = f
+    return ra, orig
+
+
+def _patch_no_res_dropout():
+    """Disable only the residual-site dropout inside FusedResidualNorm."""
+    import silent_speech_tpu.ops.fused_norm as fnorm
+    orig = fnorm.dropout_threshold
+    fnorm.dropout_threshold = lambda r: 0
+    return fnorm, orig
+
+
+def _patch_no_ffn_dropout():
+    """Disable only the FFN relu_dropout site (transformer module)."""
+    import silent_speech_tpu.models.transformer as tf
+    orig = tf.dropout_threshold
+    tf.dropout_threshold = lambda r: 0
+    return tf, orig
+
+
+def _patch_cheap_conv():
+    """Replace the ResBlock body with one stride-2 1x1 conv (+relu):
+    isolates the full conv+BN downsampling stack's cost."""
+    import silent_speech_tpu.models.encoder as enc
+    from flax import linen as nn
+
+    def cheap(self, x, train=False):
+        h = nn.Conv(self.channels, kernel_size=(1,), strides=(self.stride,),
+                    padding=[(0, 0)], dtype=self.dtype, name="conv1")(x)
+        return nn.relu(h)
+
+    orig = enc.ResBlock.__call__
+    enc.ResBlock.__call__ = nn.compact(cheap)
+    return enc, orig
+
 def _patch_identity_dp():
     import silent_speech_tpu.train.losses as L
     orig = L.dtw_align_batch
@@ -117,5 +196,43 @@ if __name__ == "__main__":
             finally:
                 import silent_speech_tpu.train.losses as L
                 L.dtw_align_batch = orig
+        elif name == "nobn":
+            orig = _patch_identity_bn()
+            try:
+                run_variant(name)
+            finally:
+                from flax import linen as nn
+                nn.BatchNorm = orig
+        elif name == "noln":
+            orig = _patch_identity_ln()
+            try:
+                run_variant(name)
+            finally:
+                from flax import linen as nn
+                nn.LayerNorm = orig
+        elif name == "noconv":
+            enc, orig = _patch_cheap_conv()
+            try:
+                run_variant(name)
+            finally:
+                enc.ResBlock.__call__ = orig
+        elif name == "noattndrop":
+            mod, orig = _patch_no_attn_dropout()
+            try:
+                run_variant(name)
+            finally:
+                mod.fused_rel_attention = orig
+        elif name == "noresdrop":
+            mod, orig = _patch_no_res_dropout()
+            try:
+                run_variant(name)
+            finally:
+                mod.dropout_threshold = orig
+        elif name == "noffndrop":
+            mod, orig = _patch_no_ffn_dropout()
+            try:
+                run_variant(name)
+            finally:
+                mod.dropout_threshold = orig
         else:
             run_variant(name, **VARIANTS[name])
