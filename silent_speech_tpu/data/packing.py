@@ -25,6 +25,12 @@ from typing import Dict, List, NamedTuple, Optional, Sequence
 
 import numpy as np
 
+# silent-count bucket: packers round the number of leading silent
+# utterances UP to a multiple of this, so ``num_silent`` takes few static
+# values (few jit traces). The loss relies on it: at most SILENT_BUCKET−1
+# real voiced utterances can sit below the bucketed silent count.
+SILENT_BUCKET = 4
+
 
 def combine_fixed_length(arrays: Sequence[np.ndarray], length: int,
                          pad_to_multiple: int = 1) -> np.ndarray:
@@ -175,7 +181,7 @@ def pack_batch(examples: Sequence[dict], seq_len: int = 200,
                utt_bucket: int = 8, text_bucket: int = 64,
                with_audio: bool = True,
                sort_silent_first: bool = True,
-               silent_bucket: int = 4,
+               silent_bucket: int = SILENT_BUCKET,
                fixed_chunks: Optional[int] = None,
                fixed_utts: Optional[int] = None,
                fixed_t: Optional[int] = None) -> PackedBatch:

@@ -26,6 +26,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from ..data.packing import SILENT_BUCKET
 from ..ops.dtw import dtw_align_batch
 from ..phonemes import NUM_PHONES
 
@@ -47,8 +48,8 @@ def pairwise_l2(a: jnp.ndarray, b: jnp.ndarray,
     squared norms and the combine stay float32.
     """
     md = matmul_dtype or a.dtype
-    a2 = jnp.sum(a * a, axis=-1)[:, :, None]
-    b2 = jnp.sum(b * b, axis=-1)[:, None, :]
+    a2 = jnp.sum(a * a, axis=-1, dtype=jnp.float32)[:, :, None]
+    b2 = jnp.sum(b * b, axis=-1, dtype=jnp.float32)[:, None, :]
     ab = jnp.einsum("uad,ubd->uab", a.astype(md), b.astype(md),
                     preferred_element_type=jnp.float32)
     sq = jnp.clip(a2 + b2 - 2.0 * ab, 1e-12, None)
@@ -76,19 +77,27 @@ def transduction_loss(pred: jnp.ndarray, phoneme_pred: jnp.ndarray,
         O(T²) distance/phoneme matrices and the DTW DP run only on that
         slice — voiced utterances need just the framewise path. None =
         run the full-batch DP (always correct, more work).
-      matmul_dtype:  operand dtype for the O(T²) MXU contractions (the
-        distance inner product and the phoneme-logit gather). bfloat16
-        runs the MXU at full rate (trainers pass their compute dtype);
-        accumulation and everything downstream stays float32. None = f32.
+      matmul_dtype:  compute dtype for the loss interior — the O(T²) MXU
+        contractions AND the big (U, T, ·) gathered views / log-softmax /
+        framewise distances (trainers pass their compute dtype; bfloat16
+        halves the interior's HBM traffic and runs the MXU at full rate).
+        Every frame/feature reduction accumulates in float32 and the
+        returned loss is float32. None = float32 throughout (the parity
+        and oracle tests' configuration).
     """
+    # interior compute dtype: with a reduced matmul_dtype the big (U, T, ·)
+    # gathered views / log-softmax / distances are held in that dtype too
+    # (halves their HBM traffic); every SUM over frames or features
+    # accumulates in float32, and the scalar loss is float32
+    cdt = jnp.float32 if matmul_dtype is None else matmul_dtype
     d_out = pred.shape[-1]
-    flat_pred = pred.reshape(-1, d_out)
-    flat_phone = phoneme_pred.reshape(-1, phoneme_pred.shape[-1])
+    flat_pred = pred.reshape(-1, d_out).astype(cdt)
+    flat_phone = phoneme_pred.reshape(-1, phoneme_pred.shape[-1]) \
+        .astype(cdt)
 
     utt_pred = gather_utterances(flat_pred, batch.utt_gather_idx)
     utt_phone = gather_utterances(flat_phone, batch.utt_gather_idx)
-    # targets may arrive in a reduced transfer dtype; compute in f32
-    y = batch.audio_features.astype(jnp.float32)  # (U, T, 80)
+    y = batch.audio_features.astype(cdt)          # (U, T, 80)
     y_phone = batch.phonemes                      # (U, T) target timeline
     utt_len = batch.utt_len                       # (U,) prediction frames
     tgt_len = batch.target_len                    # (U,) target frames
@@ -145,27 +154,35 @@ def transduction_loss(pred: jnp.ndarray, phoneme_pred: jnp.ndarray,
             utt_pred[:k], alignment_k[:, :, None], axis=1)  # (K, Ttgt, 80)
         diff_k = y[:k] - aligned_pred
         picked_dist = jnp.sqrt(jnp.clip(
-            jnp.sum(diff_k * diff_k, axis=-1), 1e-12, None))
+            jnp.sum(diff_k * diff_k, axis=-1, dtype=jnp.float32),
+            1e-12, None))
         aligned_lsm = jnp.take_along_axis(
             lsm[:k], alignment_k[:, :, None], axis=1)       # (K, Ttgt, 48)
         picked_lp = jnp.take_along_axis(
             aligned_lsm, y_phone_idx[:k], axis=2)[..., 0]   # (K, Ttgt)
-        picked = picked_dist + phoneme_loss_weight * (-picked_lp)
+        picked = picked_dist + phoneme_loss_weight \
+            * (-picked_lp.astype(jnp.float32))
         silent_k = jnp.sum(jnp.where(tgt_mask[:k], picked, 0.0), axis=1)
         silent_losses = jnp.pad(silent_k, (0, u - k))
         alignment = jnp.pad(alignment_k, ((0, u - k), (0, 0)))
     else:
-        silent_losses = jnp.zeros((u,), pred.dtype)
+        silent_losses = jnp.zeros((u,), jnp.float32)
         alignment = jnp.zeros((u, t_max), jnp.int32)
 
     # ---- voiced path: framewise distance + CE -------------------------
-    diff = y - utt_pred
+    # packers sort silent-first and round the silent count UP to
+    # SILENT_BUCKET, so at most SILENT_BUCKET−1 real voiced utterances sit
+    # below k — the voiced compute runs on [kv:] only
+    kv = max(0, k - (SILENT_BUCKET - 1)) if n_silent is not None else 0
+    diff = y[kv:] - utt_pred[kv:]
     framewise = jnp.sqrt(jnp.clip(
-        jnp.sum((diff + 1e-6) ** 2, axis=-1), 1e-12, None))  # (U, T)
-    ce = -jnp.take_along_axis(lsm, y_phone_idx, axis=2)[..., 0]  # (U, T)
-    voiced_losses = jnp.sum(
-        jnp.where(tgt_mask, framewise + phoneme_loss_weight * ce, 0.0),
-        axis=1)
+        jnp.sum((diff + jnp.asarray(1e-6, cdt)) ** 2, axis=-1,
+                dtype=jnp.float32), 1e-12, None))            # (U-kv, T)
+    ce = -jnp.take_along_axis(lsm[kv:], y_phone_idx[kv:],
+                              axis=2)[..., 0].astype(jnp.float32)
+    voiced_losses = jnp.pad(jnp.sum(
+        jnp.where(tgt_mask[kv:], framewise + phoneme_loss_weight * ce, 0.0),
+        axis=1), (kv, 0))
 
     per_utt = jnp.where(silent, silent_losses, voiced_losses)
     total_length = jnp.sum(tgt_len)
@@ -182,7 +199,7 @@ def transduction_loss(pred: jnp.ndarray, phoneme_pred: jnp.ndarray,
     if phoneme_eval:
         pred_oh = jax.nn.one_hot(eval_ids, NUM_PHONES)
         pred_oh = pred_oh * tgt_mask[..., None]
-        tgt_oh = jax.nn.one_hot(y_phone, NUM_PHONES, dtype=lsm.dtype)
+        tgt_oh = jax.nn.one_hot(y_phone, NUM_PHONES, dtype=jnp.float32)
         confusion = jnp.einsum("utp,utq->pq", pred_oh, tgt_oh)
 
     return TransductionLossOut(loss=loss, correct_phones=correct,

@@ -27,7 +27,7 @@ import numpy as np
 
 from ..config import Config
 from ..data.dataset import EMGDataset
-from ..data.packing import PackedBatch, pack_batch
+from ..data.packing import PackedBatch, pack_batch, SILENT_BUCKET
 from ..data.sampler import SizeAwareSampler
 from ..models.encoder import EMGEncoder
 from ..ops.dtw import dtw_align
@@ -295,7 +295,8 @@ class TransductionTrainer:
                 return None
             n_sil = sum(1 for i in ids if corpus.silent_mask[i])
             n_silent = max(n_silent,
-                           min(-(-max(n_sil, 0) // 4) * 4, u_cap)
+                           min(-(-max(n_sil, 0) // SILENT_BUCKET)
+                               * SILENT_BUCKET, u_cap)
                            if n_sil else 0)
             utt_ids[j, : len(ids)] = ids
             valid[j, : len(ids)] = True
@@ -317,7 +318,8 @@ class TransductionTrainer:
         if not self._cache_guard_ok(corpus, ids, caps, u_cap):
             return None
         n_sil = sum(1 for i in ids if corpus.silent_mask[i])
-        n_silent = min(-(-max(n_sil, 0) // 4) * 4, u_cap) if n_sil else 0
+        n_silent = min(-(-max(n_sil, 0) // SILENT_BUCKET)
+                       * SILENT_BUCKET, u_cap) if n_sil else 0
         utt_ids = np.zeros(u_cap, np.int32)
         utt_ids[: len(ids)] = ids
         valid = np.zeros(u_cap, bool)

@@ -23,6 +23,21 @@ from __future__ import annotations
 import os
 
 
+def _backends_initialized() -> bool:
+    """True if any JAX backend has already been initialized.
+
+    Probing ``jax.devices()`` on an uninitialized process initializes the
+    DEFAULT backend — here the tunneled ``axon`` TPU, whose init blocks
+    indefinitely when the tunnel is wedged. Callers that are about to force
+    a different platform anyway must skip the probe in that case.
+    """
+    try:
+        from jax._src import xla_bridge as xb
+        return bool(xb.backends_are_initialized())
+    except Exception:  # pragma: no cover - jax version fallback
+        return True  # conservative: fall back to probing
+
+
 def ensure_devices(n: int, platform: str = "cpu") -> None:
     """Guarantee at least ``n`` JAX devices, re-initializing onto a virtual
     ``n``-device CPU backend if the current platform has fewer.
@@ -33,7 +48,7 @@ def ensure_devices(n: int, platform: str = "cpu") -> None:
     """
     import jax
 
-    if len(jax.devices()) >= n:
+    if _backends_initialized() and len(jax.devices()) >= n:
         return
 
     # Keep env coherent for any subprocess we spawn later.
@@ -84,7 +99,8 @@ def force_cpu(n: int = 1) -> None:
     current backend. Unlike :func:`ensure_devices` this always switches."""
     import jax
 
-    if (jax.devices()[0].platform == "cpu"
+    if (_backends_initialized()
+            and jax.devices()[0].platform == "cpu"
             and len(jax.devices()) >= n):
         return
     flags = os.environ.get("XLA_FLAGS", "")

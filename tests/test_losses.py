@@ -193,3 +193,33 @@ def test_silent_slice_matches_full_dp():
     assert int(sliced.correct_phones) == int(full.correct_phones)
     np.testing.assert_allclose(np.asarray(sliced.confusion),
                                np.asarray(full.confusion))
+
+
+def test_voiced_below_bucketed_silent_count():
+    """With the default silent bucket (4), a real voiced utterance can sit
+    BELOW num_silent (e.g. 3 silent → num_silent=4, voiced at index 3).
+    The sliced voiced path must still cover it."""
+    rng = np.random.default_rng(11)
+    examples = [
+        _fake_example(rng, 45, silent=True, t_tgt=50),
+        _fake_example(rng, 62, silent=True, t_tgt=58),
+        _fake_example(rng, 38, silent=True, t_tgt=41),
+        _fake_example(rng, 30, silent=False),
+        _fake_example(rng, 25, silent=False),
+    ]
+    batch = pack_batch(examples, seq_len=40, chunk_bucket=2, utt_bucket=8)
+    assert batch.num_silent == 4  # bucketed above the 3 real silent
+    n, L = batch.emg.shape[:2]
+    pred = rng.normal(size=(n, L, 80)).astype(np.float32)
+    phone = rng.normal(size=(n, L, 48)).astype(np.float32)
+    db = jax.tree_util.tree_map(jnp.asarray, batch.device_batch())
+
+    full = transduction_loss(jnp.asarray(pred), jnp.asarray(phone), db,
+                             phoneme_eval=True, n_silent=None)
+    sliced = transduction_loss(jnp.asarray(pred), jnp.asarray(phone), db,
+                               phoneme_eval=True,
+                               n_silent=batch.num_silent)
+    assert float(sliced.loss) == pytest.approx(float(full.loss), rel=1e-5)
+    assert int(sliced.correct_phones) == int(full.correct_phones)
+    np.testing.assert_allclose(np.asarray(sliced.confusion),
+                               np.asarray(full.confusion))
