@@ -67,8 +67,37 @@ def build_examples(rng, target_frames=22000, silent_fraction=0.3):
     return examples
 
 
+def _init_backend_or_die(timeout_s: float = 180.0):
+    """Initialize the default JAX backend with a bounded wait.
+
+    The tunneled TPU backend's init blocks indefinitely when the tunnel is
+    wedged (observed in this environment); a bench that hangs forever is
+    worse than one that fails loudly. Runs ``jax.devices()`` on a daemon
+    thread and hard-exits with a diagnostic if it doesn't come up.
+    """
+    import os
+    import sys
+    import threading
+
+    import jax
+
+    devs = []
+    t = threading.Thread(target=lambda: devs.extend(jax.devices()),
+                         daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not devs:
+        print(f"bench: backend init did not complete in {timeout_s:.0f}s "
+              "(TPU tunnel unreachable?) — aborting", file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(1)
+    return devs
+
+
 def main():
     import jax
+
+    _init_backend_or_die()
 
     from silent_speech_tpu.config import Config
     from silent_speech_tpu.parallel.mesh import make_mesh
