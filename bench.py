@@ -82,13 +82,25 @@ def _init_backend_or_die(timeout_s: float = 180.0):
     import jax
 
     devs = []
-    t = threading.Thread(target=lambda: devs.extend(jax.devices()),
-                         daemon=True)
+    errs = []
+
+    def probe():
+        try:
+            devs.extend(jax.devices())
+        except BaseException as e:  # noqa: BLE001 - reported below
+            errs.append(e)
+
+    t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout_s)
     if not devs:
-        print(f"bench: backend init did not complete in {timeout_s:.0f}s "
-              "(TPU tunnel unreachable?) — aborting", file=sys.stderr)
+        if errs:
+            print(f"bench: backend init failed: {errs[0]!r}",
+                  file=sys.stderr)
+        else:
+            print(f"bench: backend init did not complete in "
+                  f"{timeout_s:.0f}s (TPU tunnel unreachable?) — aborting",
+                  file=sys.stderr)
         sys.stderr.flush()
         os._exit(1)
     return devs

@@ -216,9 +216,11 @@ struct ProbingLM : public ssp::WordLM {
       if (Lookup(ids.data(), static_cast<int>(ids.size()), &prob, &bo))
         return (backoff_acc + prob) * kLog10;
       if (ctx.empty()) {
-        // unreachable in well-formed models: unigram lookups always hit
-        const uint8_t* row =
-            unigram + static_cast<uint64_t>(wid) * 8;
+        // unreachable in well-formed models: unigram lookups always hit.
+        // Clamp to the <unk> row (id 0) rather than reading past the
+        // unigram section of the mapping on a corrupt/mismatched binary.
+        uint64_t safe = wid < uni_entries ? wid : 0;
+        const uint8_t* row = unigram + safe * 8;
         return (backoff_acc + ReadF32(row)) * kLog10;
       }
       if (Lookup(ctx.data(), static_cast<int>(ctx.size()), &prob, &bo))

@@ -73,6 +73,23 @@ def load_audio_features(path: str, max_frames: Optional[int] = None,
     return mspec
 
 
+def load_neighbor_context_emg(base_dir: str, index: int):
+    """Raw EMG for utterance ``index`` with its neighbor files
+    prepended/appended (so zero-phase filters see real context at the
+    clip edges; reference ``read_emg.py:52-61``). Returns
+    ``(concat, before_len, main_len)`` — the shared IO for the host and
+    on-device featurization paths."""
+    raw_emg = np.load(os.path.join(base_dir, f'{index}_emg.npy'))
+    before_path = os.path.join(base_dir, f'{index - 1}_emg.npy')
+    after_path = os.path.join(base_dir, f'{index + 1}_emg.npy')
+    before = np.load(before_path) if os.path.exists(before_path) \
+        else np.zeros((0, raw_emg.shape[1]))
+    after = np.load(after_path) if os.path.exists(after_path) \
+        else np.zeros((0, raw_emg.shape[1]))
+    x = np.concatenate([before, raw_emg, after], axis=0)
+    return x, before.shape[0], raw_emg.shape[0]
+
+
 def load_utterance(base_dir: str, index: int, limit_length: bool = False,
                    text_align_directory: Optional[str] = None,
                    remove_channels: Tuple[int, ...] = ()) -> dict:
@@ -81,17 +98,9 @@ def load_utterance(base_dir: str, index: int, limit_length: bool = False,
     Neighboring files are prepended/appended before filtering so the
     zero-phase filters see real context at the clip edges, then cropped.
     """
-    raw_emg = np.load(os.path.join(base_dir, f'{index}_emg.npy'))
-    before_path = os.path.join(base_dir, f'{index - 1}_emg.npy')
-    after_path = os.path.join(base_dir, f'{index + 1}_emg.npy')
-    before = np.load(before_path) if os.path.exists(before_path) \
-        else np.zeros((0, raw_emg.shape[1]))
-    after = np.load(after_path) if os.path.exists(after_path) \
-        else np.zeros((0, raw_emg.shape[1]))
-
-    x = np.concatenate([before, raw_emg, after], axis=0)
+    x, n_before, n_main = load_neighbor_context_emg(base_dir, index)
     x = clean_emg(x, fs=CAPTURE_RATE)
-    x = x[before.shape[0]: x.shape[0] - after.shape[0]]
+    x = x[n_before: n_before + n_main]
 
     emg_orig = subsample(x, RAW_RATE, CAPTURE_RATE)
     emg = subsample(x, FEAT_RATE, CAPTURE_RATE)

@@ -76,16 +76,12 @@ def emg_frame_count(n_516: int) -> int:
 # ---------------------------------------------------------------------------
 
 def load_utterance_raw(base_dir: str, index: int) -> dict:
-    """IO-only mirror of ``dataset.load_utterance``: the neighbor-context
-    raw EMG concat, the 22.05 kHz audio, and the info record."""
-    raw_emg = np.load(os.path.join(base_dir, f"{index}_emg.npy"))
-    before_path = os.path.join(base_dir, f"{index - 1}_emg.npy")
-    after_path = os.path.join(base_dir, f"{index + 1}_emg.npy")
-    before = np.load(before_path) if os.path.exists(before_path) \
-        else np.zeros((0, raw_emg.shape[1]))
-    after = np.load(after_path) if os.path.exists(after_path) \
-        else np.zeros((0, raw_emg.shape[1]))
-    x = np.concatenate([before, raw_emg, after], axis=0)
+    """IO-only half of ``dataset.load_utterance``: the neighbor-context
+    raw EMG concat (shared helper), the 22.05 kHz audio, and the info
+    record."""
+    from .dataset import load_neighbor_context_emg
+
+    x, n_before, n_main = load_neighbor_context_emg(base_dir, index)
 
     audio_path = os.path.join(base_dir, f"{index}_audio_clean.flac")
     audio, rate = read_audio(audio_path)
@@ -97,8 +93,8 @@ def load_utterance_raw(base_dir: str, index: int) -> dict:
 
     return {
         "raw_concat": np.asarray(x, np.float32),
-        "before_len": before.shape[0],
-        "main_len": raw_emg.shape[0],
+        "before_len": n_before,
+        "main_len": n_main,
         "audio": np.asarray(audio, np.float32),
         "audio_file": audio_path,
         "text": info["text"],

@@ -76,7 +76,6 @@ def _fwd(x, h, key, drop_threshold, gamma, beta, eps):
 
 def _bwd(drop_threshold, eps, res, dy):
     xhat, rstd, key, gamma = res
-    d = xhat.shape[-1]
     xhat32 = xhat.astype(jnp.float32)
     dy32 = dy.astype(jnp.float32)
     g = dy32 * gamma.astype(jnp.float32)
@@ -96,7 +95,6 @@ def _bwd(drop_threshold, eps, res, dy):
         dh = jnp.where(bits >= drop_threshold,
                        dz * jnp.asarray(scale, dz.dtype),
                        jnp.zeros((), dz.dtype))
-    del d
     return dz, dh, None, dgamma, dbeta
 
 

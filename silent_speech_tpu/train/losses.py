@@ -26,7 +26,6 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..data.packing import SILENT_BUCKET
 from ..ops.dtw import dtw_align_batch
 from ..phonemes import NUM_PHONES
 
@@ -170,19 +169,20 @@ def transduction_loss(pred: jnp.ndarray, phoneme_pred: jnp.ndarray,
         alignment = jnp.zeros((u, t_max), jnp.int32)
 
     # ---- voiced path: framewise distance + CE -------------------------
-    # packers sort silent-first and round the silent count UP to
-    # SILENT_BUCKET, so at most SILENT_BUCKET−1 real voiced utterances sit
-    # below k — the voiced compute runs on [kv:] only
-    kv = max(0, k - (SILENT_BUCKET - 1)) if n_silent is not None else 0
-    diff = y[kv:] - utt_pred[kv:]
+    # runs on ALL rows: call sites may pass a wave-wide n_silent that
+    # exceeds this batch's own silent count (trainers max() it across a
+    # scan wave so every batch shares one trace), so real voiced
+    # utterances can sit anywhere below k — `per_utt`'s where() picks the
+    # right branch per row
+    diff = y - utt_pred
     framewise = jnp.sqrt(jnp.clip(
         jnp.sum((diff + jnp.asarray(1e-6, cdt)) ** 2, axis=-1,
-                dtype=jnp.float32), 1e-12, None))            # (U-kv, T)
-    ce = -jnp.take_along_axis(lsm[kv:], y_phone_idx[kv:],
+                dtype=jnp.float32), 1e-12, None))            # (U, T)
+    ce = -jnp.take_along_axis(lsm, y_phone_idx,
                               axis=2)[..., 0].astype(jnp.float32)
-    voiced_losses = jnp.pad(jnp.sum(
-        jnp.where(tgt_mask[kv:], framewise + phoneme_loss_weight * ce, 0.0),
-        axis=1), (kv, 0))
+    voiced_losses = jnp.sum(
+        jnp.where(tgt_mask, framewise + phoneme_loss_weight * ce, 0.0),
+        axis=1)
 
     per_utt = jnp.where(silent, silent_losses, voiced_losses)
     total_length = jnp.sum(tgt_len)

@@ -19,6 +19,7 @@ import numpy as np
 
 _LIB: Optional[ctypes.CDLL] = None
 _LIB_TRIED = False
+_REBUILT = False
 
 
 def _lib_path() -> str:
@@ -28,7 +29,7 @@ def _lib_path() -> str:
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
-    global _LIB, _LIB_TRIED
+    global _LIB, _LIB_TRIED, _REBUILT
     if _LIB_TRIED:
         return _LIB
     _LIB_TRIED = True
@@ -84,6 +85,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
             _LIB = lib
         except OSError:
             _LIB = None
+        except AttributeError:
+            # a stale prebuilt .so predating newer entry points (build()
+            # never rebuilds an existing library): rebuild once and
+            # retry; stay on the Python twins if it is still stale
+            _LIB = None
+            if not _REBUILT:
+                _REBUILT = True
+                if build(force=True):
+                    return _LIB
     return _LIB
 
 

@@ -38,18 +38,36 @@ def _backends_initialized() -> bool:
         return True  # conservative: fall back to probing
 
 
+def _default_platform() -> str:
+    """The platform jax would initialize if nothing is initialized yet."""
+    import jax
+
+    p = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS") or ""
+    return p.split(",")[0].strip().lower()
+
+
 def ensure_devices(n: int, platform: str = "cpu") -> None:
     """Guarantee at least ``n`` JAX devices, re-initializing onto a virtual
     ``n``-device CPU backend if the current platform has fewer.
 
     Safe to call whether or not a backend is already initialized, and
     whether or not arrays exist (callers must not hold live device arrays
-    across the switch). No-op when enough devices already exist.
+    across the switch). No-op when enough devices already exist — so on
+    real multi-chip hardware (e.g. a v5e-8) the request is satisfied by
+    the real devices, never by a forced virtual mesh.
     """
     import jax
 
-    if _backends_initialized() and len(jax.devices()) >= n:
-        return
+    if _backends_initialized():
+        if len(jax.devices()) >= n:
+            return
+    # Probing jax.devices() initializes the default backend; do that only
+    # when it could actually satisfy the request — the tunneled 1-chip
+    # "axon" platform never can for n>1, and its init blocks indefinitely
+    # when the tunnel is wedged.
+    elif _default_platform() != "axon" or n <= 1:
+        if len(jax.devices()) >= n:
+            return
 
     # Keep env coherent for any subprocess we spawn later.
     flags = os.environ.get("XLA_FLAGS", "")
@@ -99,7 +117,12 @@ def force_cpu(n: int = 1) -> None:
     current backend. Unlike :func:`ensure_devices` this always switches."""
     import jax
 
-    if (_backends_initialized()
+    # Probe for the early return only when it could succeed: an already-
+    # initialized backend, or an uninitialized default that IS cpu. Any
+    # other default platform would fail the cpu check anyway — don't
+    # initialize it (the tunneled TPU's init blocks when the tunnel is
+    # down) just to discard it.
+    if ((_backends_initialized() or _default_platform() == "cpu")
             and jax.devices()[0].platform == "cpu"
             and len(jax.devices()) >= n):
         return

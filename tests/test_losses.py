@@ -223,3 +223,13 @@ def test_voiced_below_bucketed_silent_count():
     assert int(sliced.correct_phones) == int(full.correct_phones)
     np.testing.assert_allclose(np.asarray(sliced.confusion),
                                np.asarray(full.confusion))
+
+    # wave-wide n_silent: trainers max() the silent count across a scan
+    # wave, so a batch can receive n_silent far above its own bucketed
+    # count — every voiced utterance below that k must still contribute
+    # its full loss (regression: a sliced voiced path once zeroed them)
+    wave_k = int(db.utt_len.shape[0])
+    waved = transduction_loss(jnp.asarray(pred), jnp.asarray(phone), db,
+                              phoneme_eval=True, n_silent=wave_k)
+    assert float(waved.loss) == pytest.approx(float(full.loss), rel=1e-5)
+    assert int(waved.correct_phones) == int(full.correct_phones)

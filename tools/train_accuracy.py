@@ -242,8 +242,44 @@ def main(max_epochs=400, work=None):
     root.addHandler(handler)
     if root.level > logging.INFO:
         root.setLevel(logging.INFO)
+    from silent_speech_tpu.eval.synthesis import EnsemblePredictor
+    from silent_speech_tpu.models.hifigan import Vocoder, HiFiGANConfig
+    from silent_speech_tpu.utils.audio_io import write_wav
+    from silent_speech_tpu.eval.asr import evaluate as asr_evaluate
+    from hifigan_util import write_tiny_checkpoint
+
+    # chunked overfit with resume (mirrors the recognition phase): train
+    # until held-in phoneme accuracy through the ensemble eval path
+    # reaches 90%, so the transduction family demonstrably LEARNS too
+    total_t = 0
+    extra_t = os.path.join(tcfg.transduction.output_directory,
+                           "checkpoint.extra.json")
+    if os.path.exists(extra_t):
+        with open(extra_t) as f:
+            total_t = int(json.load(f)["epoch"])
+        print(f"[trans] resuming at epoch {total_t}", flush=True)
+    acc_curve = []
+    target_acc = 0.90
+    max_trans_epochs = 240
     try:
-        trans.fit(trainset, devset, epochs=40, seed=0)
+        while total_t < max_trans_epochs:
+            chunk = 40
+            trans.fit(trainset, devset, epochs=total_t + chunk, seed=0,
+                      resume=total_t > 0)
+            total_t += chunk
+            ens = EnsemblePredictor(
+                base=trans, states=[(trans.state.params,
+                                     trans.state.batch_stats)])
+            hl, ha, _ = ens.evaluate(trainset)
+            acc_curve.append(
+                {"epoch": total_t,
+                 "heldin_loss": round(float(hl), 4),
+                 "heldin_phoneme_acc": round(float(ha), 4)})
+            print(f"[trans] epoch {total_t}: held-in loss {float(hl):.4f}"
+                  f" phoneme acc {float(ha) * 100:.1f}% "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+            if float(ha) >= target_acc:
+                break
     finally:
         root.removeHandler(handler)
     loss_curve = []
@@ -253,21 +289,31 @@ def main(max_epochs=400, work=None):
                 parts = line.strip().split()
                 loss_curve.append(
                     float(parts[parts.index("loss:") + 1]))
-    print(f"[trans] 40 epochs in {time.time() - t0:.0f}s; "
+    print(f"[trans] {total_t} epochs in {time.time() - t0:.0f}s; "
           f"val loss {loss_curve[0]:.3f} -> {loss_curve[-1]:.3f}",
           flush=True)
 
     # full evaluate.py loop: ensemble eval + vocode + ASR judge
-    from silent_speech_tpu.eval.synthesis import EnsemblePredictor
-    from silent_speech_tpu.models.hifigan import Vocoder, HiFiGANConfig
-    from silent_speech_tpu.utils.audio_io import write_wav
-    from silent_speech_tpu.eval.asr import evaluate as asr_evaluate
-    from hifigan_util import write_tiny_checkpoint
-
     ensemble = EnsemblePredictor(
         base=trans, states=[(trans.state.params,
                              trans.state.batch_stats)])
     ev_loss, ev_acc, _conf = ensemble.evaluate(devset)
+    hi_loss, hi_acc, _ = ensemble.evaluate(trainset)
+
+    # held-in mel reconstruction: RMSE between the predicted and target
+    # normalized mel for every voiced held-in utterance (framewise
+    # targets, so no alignment needed) — vocoder-independent evidence the
+    # mel head fits
+    mel_rmse = []
+    for i in range(len(trainset)):
+        dp = trainset[i]
+        if dp["silent"]:
+            continue
+        pred = ensemble.predict(dp)
+        tgt = np.asarray(dp["audio_features"])
+        n = min(len(pred), len(tgt))
+        mel_rmse.append(float(np.sqrt(np.mean((pred[:n] - tgt[:n]) ** 2))))
+    heldin_mel_rmse = float(np.mean(mel_rmse))
 
     hcfg = HiFiGANConfig(
         upsample_rates=(8, 8, 2, 2), upsample_kernel_sizes=(16, 16, 4, 4),
@@ -286,8 +332,13 @@ def main(max_epochs=400, work=None):
     synth_wer = asr_evaluate(devset, wav_dir, asr=tiny_asr())
 
     out["transduction"] = {
-        "epochs": 40,
+        "epochs": total_t,
         "val_loss_curve": [round(x, 4) for x in loss_curve],
+        "heldin_curve": acc_curve,
+        "heldin_loss": round(float(hi_loss), 4),
+        "heldin_phoneme_accuracy": round(float(hi_acc), 4),
+        "heldin_mel_rmse_voiced": round(heldin_mel_rmse, 4),
+        "heldin_acc_target_met": float(hi_acc) >= target_acc,
         "dev_loss": round(float(ev_loss), 4),
         "dev_phoneme_accuracy": round(float(ev_acc), 4),
         "synthesis_wer": round(float(synth_wer), 4),
@@ -324,10 +375,15 @@ semantics).
 
 ## Transduction (EMG -> speech)
 
-40 epochs of the reference DTW-loss loop, then the full evaluate.py
-pipeline (EnsemblePredictor -> per-utterance mel -> HiFi-GAN -> wav ->
-ASR judge, evaluate.py:36-64 semantics).
+{t['epochs']} epochs of the reference DTW-loss loop (overfit target:
+held-in phoneme accuracy >= 90% through the ensemble eval path), then
+the full evaluate.py pipeline (EnsemblePredictor -> per-utterance mel ->
+HiFi-GAN -> wav -> ASR judge, evaluate.py:36-64 semantics).
 
+- **held-in phoneme accuracy: {t['heldin_phoneme_accuracy'] * 100:.1f}%**
+  (loss {t['heldin_loss']}); curve: {json.dumps(t['heldin_curve'])}
+- held-in voiced mel RMSE (normalized mel space, framewise targets):
+  {t['heldin_mel_rmse_voiced']}
 - dev loss: {t['dev_loss']} (val curve {t['val_loss_curve'][0]} ->
   {t['val_loss_curve'][-1]})
 - dev phoneme accuracy: {t['dev_phoneme_accuracy'] * 100:.1f}%
