@@ -224,6 +224,10 @@ def main(max_epochs=400, work=None):
     tcfg.data.utt_cap = 16
     tcfg.transduction.learning_rate = 1e-3
     tcfg.transduction.learning_rate_warmup = 16   # see recognition note
+    # dev loss can't improve on this corpus (random-noise EMG), so the
+    # plateau scheduler would halve the LR every `patience` epochs and
+    # freeze the overfit — park the patience beyond the run
+    tcfg.transduction.learning_rate_patience = 10_000
     tcfg.transduction.max_batch_len = 4000
     tcfg.transduction.output_directory = os.path.join(work, "trans")
 
@@ -248,9 +252,25 @@ def main(max_epochs=400, work=None):
     from silent_speech_tpu.eval.asr import evaluate as asr_evaluate
     from hifigan_util import write_tiny_checkpoint
 
-    # chunked overfit with resume (mirrors the recognition phase): train
-    # until held-in phoneme accuracy through the ensemble eval path
-    # reaches 90%, so the transduction family demonstrably LEARNS too
+    # chunked overfit with resume (mirrors the recognition phase). The
+    # learning gate is the mel head — the transduction objective — via
+    # held-in voiced mel RMSE in normalized mel space (random unit-
+    # variance signals sit at ~sqrt(2); memorization drives it toward 0).
+    # The auxiliary phoneme head (weight 0.5) is reported, not gated: on
+    # random-noise EMG the mel term dominates the shared encoder.
+    def heldin_mel_rmse_fn(ens):
+        vals = []
+        for i in range(len(trainset)):
+            dp = trainset[i]
+            if dp["silent"]:
+                continue
+            pred = ens.predict(dp)
+            tgt = np.asarray(dp["audio_features"])
+            m = min(len(pred), len(tgt))
+            vals.append(float(np.sqrt(np.mean(
+                (pred[:m] - tgt[:m]) ** 2))))
+        return float(np.mean(vals))
+
     total_t = 0
     extra_t = os.path.join(tcfg.transduction.output_directory,
                            "checkpoint.extra.json")
@@ -259,8 +279,8 @@ def main(max_epochs=400, work=None):
             total_t = int(json.load(f)["epoch"])
         print(f"[trans] resuming at epoch {total_t}", flush=True)
     acc_curve = []
-    target_acc = 0.90
-    max_trans_epochs = 240
+    target_rmse = 0.30
+    max_trans_epochs = 400
     try:
         while total_t < max_trans_epochs:
             chunk = 40
@@ -271,14 +291,17 @@ def main(max_epochs=400, work=None):
                 base=trans, states=[(trans.state.params,
                                      trans.state.batch_stats)])
             hl, ha, _ = ens.evaluate(trainset)
+            rmse = heldin_mel_rmse_fn(ens)
             acc_curve.append(
                 {"epoch": total_t,
                  "heldin_loss": round(float(hl), 4),
+                 "heldin_mel_rmse": round(rmse, 4),
                  "heldin_phoneme_acc": round(float(ha), 4)})
             print(f"[trans] epoch {total_t}: held-in loss {float(hl):.4f}"
-                  f" phoneme acc {float(ha) * 100:.1f}% "
+                  f" mel RMSE {rmse:.4f} phoneme acc "
+                  f"{float(ha) * 100:.1f}% "
                   f"({time.time() - t0:.0f}s)", flush=True)
-            if float(ha) >= target_acc:
+            if rmse <= target_rmse:
                 break
     finally:
         root.removeHandler(handler)
@@ -304,16 +327,7 @@ def main(max_epochs=400, work=None):
     # normalized mel for every voiced held-in utterance (framewise
     # targets, so no alignment needed) — vocoder-independent evidence the
     # mel head fits
-    mel_rmse = []
-    for i in range(len(trainset)):
-        dp = trainset[i]
-        if dp["silent"]:
-            continue
-        pred = ensemble.predict(dp)
-        tgt = np.asarray(dp["audio_features"])
-        n = min(len(pred), len(tgt))
-        mel_rmse.append(float(np.sqrt(np.mean((pred[:n] - tgt[:n]) ** 2))))
-    heldin_mel_rmse = float(np.mean(mel_rmse))
+    heldin_mel_rmse = heldin_mel_rmse_fn(ensemble)
 
     hcfg = HiFiGANConfig(
         upsample_rates=(8, 8, 2, 2), upsample_kernel_sizes=(16, 16, 4, 4),
@@ -338,7 +352,8 @@ def main(max_epochs=400, work=None):
         "heldin_loss": round(float(hi_loss), 4),
         "heldin_phoneme_accuracy": round(float(hi_acc), 4),
         "heldin_mel_rmse_voiced": round(heldin_mel_rmse, 4),
-        "heldin_acc_target_met": float(hi_acc) >= target_acc,
+        "heldin_rmse_target": target_rmse,
+        "heldin_rmse_target_met": heldin_mel_rmse <= target_rmse,
         "dev_loss": round(float(ev_loss), 4),
         "dev_phoneme_accuracy": round(float(ev_acc), 4),
         "synthesis_wer": round(float(synth_wer), 4),
@@ -376,14 +391,16 @@ semantics).
 ## Transduction (EMG -> speech)
 
 {t['epochs']} epochs of the reference DTW-loss loop (overfit target:
-held-in phoneme accuracy >= 90% through the ensemble eval path), then
-the full evaluate.py pipeline (EnsemblePredictor -> per-utterance mel ->
+held-in voiced mel RMSE <= {t['heldin_rmse_target']} in normalized mel
+space, where uncorrelated unit-variance signals sit at ~1.41), then the
+full evaluate.py pipeline (EnsemblePredictor -> per-utterance mel ->
 HiFi-GAN -> wav -> ASR judge, evaluate.py:36-64 semantics).
 
-- **held-in phoneme accuracy: {t['heldin_phoneme_accuracy'] * 100:.1f}%**
-  (loss {t['heldin_loss']}); curve: {json.dumps(t['heldin_curve'])}
-- held-in voiced mel RMSE (normalized mel space, framewise targets):
-  {t['heldin_mel_rmse_voiced']}
+- **held-in voiced mel RMSE: {t['heldin_mel_rmse_voiced']}**
+  (target met: {t['heldin_rmse_target_met']}); held-in loss
+  {t['heldin_loss']}; curve: {json.dumps(t['heldin_curve'])}
+- held-in phoneme accuracy (auxiliary head, weight 0.5 — the mel term
+  dominates on random-noise EMG): {t['heldin_phoneme_accuracy'] * 100:.1f}%
 - dev loss: {t['dev_loss']} (val curve {t['val_loss_curve'][0]} ->
   {t['val_loss_curve'][-1]})
 - dev phoneme accuracy: {t['dev_phoneme_accuracy'] * 100:.1f}%
