@@ -35,12 +35,13 @@ import numpy as np
 REFERENCE_STEPS_PER_SEC = 3.0
 
 
-def build_examples(rng, target_frames=22000, silent_fraction=0.3):
+def build_examples(rng, target_frames=22000, silent_fraction=0.3,
+                   max_len=800):
     examples = []
     total = 0
     i = 0
     while total < target_frames:
-        t = int(rng.uniform(300, 800))
+        t = int(rng.uniform(max_len * 3 // 8, max_len))
         silent = rng.uniform() < silent_fraction
         ex = {
             "emg": rng.normal(size=(t, 112)).astype(np.float32),
@@ -106,10 +107,14 @@ def _init_backend_or_die(timeout_s: float = 180.0):
     return devs
 
 
-def main():
+def main(tiny: bool = False):
+    """``tiny=True`` shrinks the model/batch so the identical mesh/cache/
+    scan path can be validated mechanically on a virtual CPU mesh (the
+    recorded bench always runs full-size)."""
     import jax
 
-    _init_backend_or_die()
+    if not tiny:
+        _init_backend_or_die()
 
     from silent_speech_tpu.config import Config
     from silent_speech_tpu.parallel.mesh import make_mesh
@@ -118,15 +123,30 @@ def main():
     from silent_speech_tpu.data.device_cache import DeviceCorpus
 
     cfg = Config()  # full-size reference architecture
-    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    if tiny:
+        cfg.model.model_size = 64
+        cfg.model.num_layers = 2
+        cfg.model.dim_feedforward = 128
+        cfg.model.num_heads = 2
+        cfg.model.compute_dtype = "float32"
+    # data-parallel over every available chip: on the 1-chip axon tunnel
+    # this is the single-device mesh; on a real v5e-8 the same reference
+    # batch strong-scales across all 8 (the BASELINE 5x target's hardware)
+    devs = jax.devices()
+    mesh = make_mesh(len(devs), 1, devices=devs)
     trainer = TransductionTrainer(cfg, mesh=mesh)
 
     # production path: the featurized corpus lives in HBM; each step ships
     # only a (U,) utterance-id vector and the batch assembles on device
-    example_sets = [build_examples(np.random.default_rng(i))
+    # tiny mode also shortens utterances: the DTW DP scan length tracks
+    # the packed T bucket, and a T=1024 scan body × 8-way GSPMD is
+    # another multi-minute XLA-CPU compile
+    example_sets = [build_examples(np.random.default_rng(i),
+                                   target_frames=1000 if tiny else 22000,
+                                   max_len=120 if tiny else 800)
                     for i in range(4)]
     all_examples = [e for s_ in example_sets for e in s_]
-    corpus = DeviceCorpus.build(all_examples)
+    corpus = DeviceCorpus.build(all_examples, mesh=mesh)
     id_sets = []
     pos = 0
     for s_ in example_sets:
@@ -139,7 +159,9 @@ def main():
     # W train steps per dispatch: lax.scan over the id wave against the
     # HBM-resident corpus amortizes the remote-dispatch latency
     # (cfg.data.wave_size production default)
-    wave = 16
+    # tiny mode keeps the wave short: a 16-step scan body × 8-way GSPMD
+    # partitioning takes tens of minutes in the XLA *CPU* compiler
+    wave = 2 if tiny else 16
 
     def one_wave(i):
         groups = [id_sets[(i + j) % 4] for j in range(wave)]
@@ -151,7 +173,7 @@ def main():
     # warmup: compile + the remote-execution path needs ~a dozen
     # invocations to reach steady state; float() forces a real host sync
     # (block_until_ready is not a reliable barrier through the axon relay)
-    for i in range(8):
+    for i in range(2 if tiny else 8):
         metrics = one_wave(i)
     float(metrics["loss"][-1])
 
