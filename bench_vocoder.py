@@ -16,6 +16,10 @@ import numpy as np
 
 def main(checkpoint: str = None, seconds: float = 10.0,
          batch: int = 8) -> None:
+    from bench import _init_backend_or_die
+
+    _init_backend_or_die()
+
     import jax
     import jax.numpy as jnp
 
