@@ -122,6 +122,50 @@ class StreamingRecognizer:
         return self._text
 
 
+class StreamingSynthesizer:
+    """Live EMG→speech: the transduction twin of ``StreamingRecognizer``.
+
+    Feed raw capture chunks; ``audio()`` returns the vocoded waveform of
+    the buffered window (predicted normalized mel → ``mfcc_norm`` inverse
+    → HiFi-GAN), recomputed per hop with the same recompute-from-buffer
+    exactness contract. ``trainer`` is an initialized
+    ``TransductionTrainer``; ``vocoder`` maps (T, 80) mel → 22.05 kHz
+    audio (``models.hifigan.Vocoder``)."""
+
+    def __init__(self, trainer, mfcc_norm, vocoder, emg_norm=None,
+                 session_index: int = 0, hop_s: float = 0.25,
+                 max_window_s: float = 20.0, remove_channels=()):
+        assert trainer.state is not None, "trainer not initialized"
+        self.trainer = trainer
+        self.mfcc_norm = mfcc_norm
+        self.vocoder = vocoder
+        self.emg_norm = emg_norm
+        self.session_index = session_index
+        self.hop = int(hop_s * CAPTURE_RATE)
+        self.max_window = int(max_window_s * CAPTURE_RATE)
+        self.remove_channels = tuple(remove_channels)
+        self._buf = np.zeros((0, 8), np.float64)
+        self._since_decode = 0
+        self._audio = np.zeros(0, np.float32)
+
+    feed = StreamingRecognizer.feed
+    buffered_samples = StreamingRecognizer.buffered_samples
+
+    def audio(self, force: bool = False) -> np.ndarray:
+        """22.05 kHz waveform for the buffered window; recomputed when
+        ≥ one hop of new samples arrived (or ``force``)."""
+        if self._since_decode >= self.hop or force:
+            self._since_decode = 0
+            ex = featurize_raw_window(
+                self._buf, self.emg_norm, self.session_index,
+                self.remove_channels)
+            if ex is not None:
+                mel = self.mfcc_norm.inverse(self.trainer.predict(ex))
+                self._audio = np.asarray(self.vocoder(mel),
+                                         np.float32).reshape(-1)
+        return self._audio
+
+
 def _demo(seconds: float, hop_s: float, model_path: str = "") -> None:
     """Live demo: synthetic board → streaming recognizer (random-weight
     tiny model unless ``model_path`` is a reference-format model.pt)."""
