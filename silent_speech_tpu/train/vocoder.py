@@ -48,8 +48,13 @@ class VocoderDataSource:
     straight from wavs with gold mels."""
 
     def __init__(self, directory: str, prefix: str = "train",
-                 hop: int = 256, seed: int = 0):
+                 hop: int = 256, seed: int = 0,
+                 mel_cfg: Optional[MelConfig] = None):
         self.hop = hop
+        self.mel_cfg = mel_cfg or MelConfig()
+        assert self.mel_cfg.hop_size == hop, (
+            "gold-mel featurization must match the audio hop: "
+            f"mel_cfg.hop_size={self.mel_cfg.hop_size} vs hop={hop}")
         self.items: List[Tuple[Optional[str], str]] = []
         filelist = os.path.join(directory, f"{prefix}_filelist.txt")
         if os.path.exists(filelist):
@@ -75,7 +80,8 @@ class VocoderDataSource:
             if mel_path is not None:
                 mel = np.load(mel_path)[0].T  # (1,80,T) → (T,80)
             else:
-                mel = log_mel_spectrogram(audio.astype(np.float32))
+                mel = log_mel_spectrogram(audio.astype(np.float32),
+                                          self.mel_cfg)
             n = min(mel.shape[0], len(audio) // self.hop)
             self._cache[idx] = (mel[:n].astype(np.float32),
                                 audio[: n * self.hop].astype(np.float32))
@@ -109,12 +115,13 @@ class VocoderTrainer:
                  mel_cfg: MelConfig = MelConfig(),
                  learning_rate: float = 2e-4, lr_decay: float = 0.999,
                  mel_weight: float = 45.0, fm_weight: float = 2.0,
-                 seed: int = 0):
+                 seed: int = 0,
+                 disc_periods: Tuple[int, ...] = (2, 3, 5, 7, 11)):
         self.gen_cfg = gen_cfg
         self.mel_cfg = mel_cfg
         self.lr = learning_rate
         self.lr_decay = lr_decay
-        self.disc = HiFiGANDiscriminators()
+        self.disc = HiFiGANDiscriminators(periods=disc_periods)
 
         key = jax.random.PRNGKey(seed)
         kg, kd = jax.random.split(key)
@@ -187,8 +194,10 @@ class VocoderTrainer:
 
     def train(self, source: VocoderDataSource, steps: int,
               batch_size: int = 16, steps_per_epoch: int = 1000,
-              log_every: int = 100) -> dict:
-        batches = source.batches(batch_size)
+              log_every: int = 100,
+              segment_frames: Optional[int] = None) -> dict:
+        batches = source.batches(batch_size,
+                                 segment_frames or SEGMENT_FRAMES)
         metrics = {}
         t0 = time.time()
         for i in range(steps):

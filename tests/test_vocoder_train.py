@@ -64,6 +64,20 @@ def test_data_source_segments(wav_dir):
     assert np.isfinite(mels).all() and np.isfinite(audio).all()
 
 
+def test_data_source_custom_mel_cfg(wav_dir):
+    # gold-mel featurization follows the source's mel config, so a
+    # non-default hop keeps mel frames and audio samples aligned
+    cfg = MelConfig(n_fft=256, hop_size=64, win_size=256)
+    src = VocoderDataSource(wav_dir, hop=64, mel_cfg=cfg)
+    mels, audio = next(src.batches(batch_size=2, segment_frames=16))
+    assert mels.shape == (2, 16, 80)
+    assert audio.shape == (2, 16 * 64)
+    assert np.isfinite(mels).all() and np.isfinite(audio).all()
+    # a hop/mel_cfg mismatch would silently misalign segments: refuse it
+    with pytest.raises(AssertionError):
+        VocoderDataSource(wav_dir, hop=64)
+
+
 def test_gan_training_step_runs_and_improves_mel(wav_dir, monkeypatch):
     # tiny generator (hop 8) + tiny mel so the test runs fast on CPU
     import silent_speech_tpu.train.vocoder as voc

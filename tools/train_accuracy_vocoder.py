@@ -1,0 +1,193 @@
+"""Vocoder accuracy artifact: prove the in-framework HiFi-GAN GAN loop LEARNS.
+
+The round-2/3 accuracy artifact (docs/ACCURACY.md) certifies the recognition
+and transduction trainers; this adds the third trainable family. A from-
+scratch HiFi-GAN is trained with the production objective (LSGAN adversarial
+vs the MPD+MSD ensemble, x2 feature matching, x45 mel L1 — arXiv:2010.05646,
+the loop the reference delegates to the external PyTorch repo per
+``README.md:67-75``) on a synthetic harmonic corpus, through the real
+``VocoderDataSource``/``VocoderTrainer`` path.
+
+Geometry is scaled down for the CPU-only environment (hop 64, 16 channels,
+MPD periods (2,3)) — a full-size hop-256 step costs ~64 s on this host's CPU
+vs milliseconds on the TPU, and the claim under test is that the GAN loop
+*optimizes*, which is scale-independent. Gates:
+
+- training mel-L1 falls to <= 0.5x its early-run level, and
+- held-out resynthesis (gold mel -> generator -> mel of generated audio)
+  beats the untrained generator by >= 40%.
+
+Merges a "vocoder" section into docs/ACCURACY.{json,md}.
+Run: python tools/train_accuracy_vocoder.py [steps]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from silent_speech_tpu.utils.platform import force_cpu  # noqa: E402
+
+force_cpu(1)
+
+import numpy as np  # noqa: E402
+
+SR = 22050
+HOP = 64
+SEG_FRAMES = 16
+BATCH = 2
+
+
+def make_corpus(directory, n_clips=6, seed=0):
+    """Harmonic clips (speech-ish f0 sweeps + overtones + breath noise)."""
+    from silent_speech_tpu.utils.audio_io import write_wav
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(directory, exist_ok=True)
+    paths = []
+    for i in range(n_clips):
+        dur = 0.7 + 0.2 * rng.random()
+        t = np.arange(int(SR * dur)) / SR
+        f0 = 120 + 60 * rng.random() + 40 * np.sin(
+            2 * np.pi * (0.8 + rng.random()) * t)
+        phase = 2 * np.pi * np.cumsum(f0) / SR
+        audio = np.zeros_like(t)
+        for h, amp in enumerate([0.5, 0.25, 0.12, 0.06], start=1):
+            audio += amp * np.sin(h * phase)
+        env = np.minimum(1.0, 10 * t) * np.minimum(1.0, 10 * (t[-1] - t))
+        audio = (audio * env + 0.01 * rng.normal(size=t.shape)) * 0.5
+        path = os.path.join(directory, f"clip_{i}.wav")
+        write_wav(path, audio.astype(np.float32), SR)
+        paths.append(path)
+    return paths
+
+
+def resynth_mel_l1(gen_params, gen_cfg, mel_cfg, wav_path):
+    """Gold mel -> generator -> mel(generated); L1 against the gold mel."""
+    import jax.numpy as jnp
+
+    from silent_speech_tpu.dsp.mel import jax_log_mel_spectrogram, \
+        log_mel_spectrogram
+    from silent_speech_tpu.models.hifigan import generator_apply
+    from silent_speech_tpu.utils.audio_io import read_audio
+
+    audio, rate = read_audio(wav_path)
+    assert rate == SR
+    gold = log_mel_spectrogram(audio.astype(np.float32), mel_cfg)  # (T,80)
+    fake = generator_apply(gen_params, jnp.asarray(gold)[None], gen_cfg)[0]
+    regen = jax_log_mel_spectrogram(fake, mel_cfg)
+    n = min(gold.shape[0], regen.shape[0])
+    return float(jnp.mean(jnp.abs(jnp.asarray(gold[:n]) - regen[:n])))
+
+
+def main(steps=240, work=None):
+    import silent_speech_tpu.train.vocoder as voc
+    from silent_speech_tpu.dsp.mel import MelConfig
+    from silent_speech_tpu.models.hifigan import HiFiGANConfig
+    from silent_speech_tpu.train.vocoder import (
+        VocoderDataSource, VocoderTrainer,
+    )
+
+    work = work or os.path.join("/tmp", "accuracy_vocoder")
+    wav_dir = os.path.join(work, "wavs")
+    clips = make_corpus(wav_dir, n_clips=6)
+    heldout = clips[-1]
+
+    gen_cfg = HiFiGANConfig(
+        upsample_rates=(4, 4, 2, 2), upsample_kernel_sizes=(8, 8, 4, 4),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),))
+    mel_cfg = MelConfig(n_fft=256, hop_size=HOP, win_size=256)
+
+    voc.SEGMENT_FRAMES = SEG_FRAMES
+    trainer = VocoderTrainer(gen_cfg=gen_cfg, mel_cfg=mel_cfg,
+                             learning_rate=1e-3, lr_decay=0.999,
+                             seed=0, disc_periods=(2, 3))
+
+    untrained_l1 = resynth_mel_l1(trainer.gen_params, gen_cfg, mel_cfg,
+                                  heldout)
+    print(f"held-out resynthesis mel L1, untrained: {untrained_l1:.4f}",
+          flush=True)
+
+    # train on the 5 non-held-out clips through the real data source
+    train_dir = os.path.join(work, "train_wavs")
+    os.makedirs(train_dir, exist_ok=True)
+    for p in clips[:-1]:
+        dst = os.path.join(train_dir, os.path.basename(p))
+        if not os.path.exists(dst):
+            os.link(p, dst)
+    source = VocoderDataSource(train_dir, hop=HOP, seed=1, mel_cfg=mel_cfg)
+
+    batches = source.batches(BATCH, SEG_FRAMES)
+    mel_curve = []
+    t0 = time.time()
+    import jax.numpy as jnp
+    for i in range(steps):
+        mels, audio = next(batches)
+        lr = np.float32(trainer.lr * trainer.lr_decay ** (i // 100))
+        (trainer.gen_params, trainer.disc_params, trainer.gen_opt,
+         trainer.disc_opt, metrics) = trainer._step(
+            trainer.gen_params, trainer.disc_params, trainer.gen_opt,
+            trainer.disc_opt, jnp.asarray(mels), jnp.asarray(audio), lr)
+        mel_curve.append(float(metrics["mel_l1"]))
+        if (i + 1) % 20 == 0:
+            print(f"step {i + 1}: mel_l1={mel_curve[-1]:.4f} "
+                  f"g={float(metrics['g_loss']):.3f} "
+                  f"d={float(metrics['d_loss']):.3f} "
+                  f"({(i + 1) / (time.time() - t0):.2f} it/s)", flush=True)
+
+    early = float(np.mean(mel_curve[5:30]))
+    late = float(np.mean(mel_curve[-25:]))
+    trained_l1 = resynth_mel_l1(trainer.gen_params, gen_cfg, mel_cfg,
+                                heldout)
+    train_gate = late <= 0.5 * early
+    heldout_gate = trained_l1 <= 0.6 * untrained_l1
+    print(f"train mel_l1 early={early:.4f} late={late:.4f} "
+          f"(gate <=0.5x: {train_gate})")
+    print(f"held-out resynthesis L1 untrained={untrained_l1:.4f} "
+          f"trained={trained_l1:.4f} (gate <=0.6x: {heldout_gate})")
+
+    result = {
+        "steps": steps,
+        "geometry": "hop64/ch16/periods(2,3) (CPU-scaled; see docstring)",
+        "train_mel_l1_early": round(early, 4),
+        "train_mel_l1_late": round(late, 4),
+        "train_gate_half": bool(train_gate),
+        "heldout_resynth_l1_untrained": round(untrained_l1, 4),
+        "heldout_resynth_l1_trained": round(trained_l1, 4),
+        "heldout_gate_0p6": bool(heldout_gate),
+        "curve": [{"step": (j + 1) * 20, "mel_l1": round(v, 4)}
+                  for j, v in enumerate(mel_curve[19::20])],
+    }
+
+    acc_path = os.path.join("docs", "ACCURACY.json")
+    acc = json.load(open(acc_path)) if os.path.exists(acc_path) else {}
+    acc["vocoder"] = result
+    with open(acc_path, "w") as f:
+        json.dump(acc, f, indent=1)
+
+    md = f"""
+## Vocoder (mel -> waveform, HiFi-GAN GAN loop)
+
+From-scratch HiFi-GAN trained with the production objective (LSGAN vs
+MPD+MSD, x2 feature matching, x45 mel L1) on a synthetic harmonic corpus
+through the real ``VocoderDataSource``/``VocoderTrainer`` path
+({steps} steps; geometry CPU-scaled to hop 64 / 16 ch / periods (2,3) —
+the full-size step is ~64 s on this host's CPU vs milliseconds on TPU,
+and the claim is that the GAN loop *optimizes*, which is scale-free).
+
+- training mel L1: {early:.3f} (early) -> {late:.3f} (late);
+  gate <= 0.5x early: **{train_gate}**
+- held-out resynthesis mel L1 (gold mel -> generator -> mel of generated
+  audio): {untrained_l1:.3f} untrained -> {trained_l1:.3f} trained;
+  gate <= 0.6x untrained: **{heldout_gate}**
+"""
+    with open(os.path.join("docs", "ACCURACY.md"), "a") as f:
+        f.write(md)
+    print("wrote docs/ACCURACY.json + appended docs/ACCURACY.md")
+    return result
+
+
+if __name__ == "__main__":
+    main(steps=int(sys.argv[1]) if len(sys.argv) > 1 else 240)
