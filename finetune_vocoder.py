@@ -17,6 +17,7 @@ def main():
     from absl import flags
 
     from silent_speech_tpu.config import define_flags
+    from silent_speech_tpu.utils.platform import apply_env_platform_override
     from silent_speech_tpu.models.hifigan import HiFiGANConfig
     from silent_speech_tpu.train.vocoder import (
         VocoderDataSource, VocoderTrainer,
@@ -33,8 +34,13 @@ def main():
         flags.DEFINE_integer("vocoder_batch_size", 16, "segment batch size")
         flags.DEFINE_string("filelist_prefix", "train",
                             "which filelist to train on")
+        flags.DEFINE_integer("vocoder_segment_frames", 32,
+                             "mel frames per training segment")
+        flags.DEFINE_list("vocoder_disc_periods", ["2", "3", "5", "7", "11"],
+                          "MPD discriminator periods")
     flags.FLAGS(sys.argv)
     F = flags.FLAGS
+    apply_env_platform_override()
 
     out_dir = F.output_directory
     setup_run_logging(out_dir)
@@ -47,15 +53,22 @@ def main():
         if os.path.exists(cfg_json):
             gen_cfg = HiFiGANConfig.from_json(cfg_json)
 
-    trainer = VocoderTrainer(gen_cfg=gen_cfg)
+    trainer = VocoderTrainer(
+        gen_cfg=gen_cfg,
+        disc_periods=tuple(int(p) for p in F.vocoder_disc_periods))
     if F.hifigan_checkpoint:
         trainer.load_generator(F.hifigan_checkpoint)
 
     source = VocoderDataSource(F.data_directory,
                                prefix=F.filelist_prefix)
-    trainer.train(source, steps=F.steps,
-                  batch_size=F.vocoder_batch_size)
+    final = trainer.train(source, steps=F.steps,
+                          batch_size=F.vocoder_batch_size,
+                          segment_frames=F.vocoder_segment_frames)
     trainer.export_torch(os.path.join(out_dir, "generator_finetuned.pt"))
+
+    import logging
+    logging.info("finetune done: %d steps, final metrics %s", F.steps,
+                 {k: round(v, 4) for k, v in final.items()})
 
 
 if __name__ == "__main__":

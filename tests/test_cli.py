@@ -81,14 +81,21 @@ def test_evaluate_cli(corpus, trained, tmp_path):
     assert "skipping wav synthesis" in log  # no --hifigan_checkpoint
 
 
-def test_make_vocoder_trainset_cli(corpus, trained, tmp_path):
-    """make_vocoder_trainset.py end-to-end: aligned predicted mels +
-    22.05 kHz wavs + filelists (reference make_vocoder_trainset.py)."""
+@pytest.fixture(scope="module")
+def voc_trainset(corpus, trained, tmp_path_factory):
+    """One make_vocoder_trainset.py run shared by the vocoder CLI tests."""
     out, r0 = trained
     assert r0.returncode == 0, r0.stderr[-3000:]
-    voc_out = str(tmp_path / "voc_out")
+    voc_out = str(tmp_path_factory.mktemp("voc_out"))
     r = _run("make_vocoder_trainset.py", corpus, voc_out,
              extra=("--model", os.path.join(out, "model.pt")))
+    return voc_out, r
+
+
+def test_make_vocoder_trainset_cli(voc_trainset):
+    """make_vocoder_trainset.py end-to-end: aligned predicted mels +
+    22.05 kHz wavs + filelists (reference make_vocoder_trainset.py)."""
+    voc_out, r = voc_trainset
     assert r.returncode == 0, r.stderr[-3000:]
     for fl in ("train_filelist.txt", "dev_filelist.txt"):
         path = os.path.join(voc_out, fl)
@@ -98,6 +105,36 @@ def test_make_vocoder_trainset_cli(corpus, trained, tmp_path):
     import numpy as np
     mel = np.load(os.path.join(voc_out, "mels", "dev_output_0.npy"))
     assert mel.ndim == 3 and mel.shape[1] == 80
+
+
+def test_finetune_vocoder_cli(corpus, voc_trainset, tmp_path):
+    """finetune_vocoder.py end-to-end on the make_vocoder_trainset output:
+    warm-start from a (tiny, random) checkpoint, a few GAN steps, export a
+    reference-format finetuned generator (reference README.md:67-75)."""
+    voc_out, r0 = voc_trainset
+    assert r0.returncode == 0, r0.stderr[-3000:]
+    from silent_speech_tpu.models.hifigan import HiFiGANConfig
+    from hifigan_util import write_tiny_checkpoint
+
+    # hop_length must stay 256 to match the hop-256 trainset mels
+    cfg = HiFiGANConfig(
+        resblock="1", upsample_rates=(8, 8, 2, 2),
+        upsample_kernel_sizes=(16, 16, 4, 4),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 2),), num_mels=80)
+    ckpt = write_tiny_checkpoint(str(tmp_path / "hifigan"), cfg)
+
+    ft_out = str(tmp_path / "ft_out")
+    r = _run("finetune_vocoder.py", corpus, ft_out,
+             extra=("--data_directory", voc_out,
+                    "--hifigan_checkpoint", ckpt,
+                    "--steps", "2", "--vocoder_batch_size", "2",
+                    "--vocoder_segment_frames", "8",
+                    "--vocoder_disc_periods", "2,3"))
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.exists(os.path.join(ft_out, "generator_finetuned.pt"))
+    log = open(os.path.join(ft_out, "log.txt")).read()
+    assert "finetune done" in log
 
 
 def test_recognition_cli(corpus, tmp_path):
