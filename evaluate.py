@@ -16,23 +16,10 @@ def _load_state(trainer, path):
     """(params, batch_stats) from a reference ``model.pt`` or an orbax run
     directory, loaded through ONE shared trainer (no per-checkpoint model
     objects or extra jit traces)."""
-    from silent_speech_tpu.train.checkpoint import (
-        load_reference_checkpoint, load_params_into_state,
-        restore_checkpoint, checkpoint_exists,
-    )
+    from silent_speech_tpu.train.checkpoint import load_any_checkpoint
 
-    if os.path.isdir(path):
-        if checkpoint_exists(path):   # run dir containing 'checkpoint'
-            state = restore_checkpoint(path, trainer.state)
-        else:                          # path IS the orbax checkpoint dir
-            state = restore_checkpoint(
-                os.path.dirname(path), trainer.state,
-                name=os.path.basename(path))
-    else:
-        params, stats = load_reference_checkpoint(
-            path, num_layers=trainer.cfg.model.num_layers)
-        state = load_params_into_state(trainer.state, params, stats)
-    return state.params, state.batch_stats
+    return load_any_checkpoint(trainer.state, path,
+                               num_layers=trainer.cfg.model.num_layers)
 
 
 def main():

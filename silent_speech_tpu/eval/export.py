@@ -1,0 +1,260 @@
+"""Serving export: ahead-of-time StableHLO artifacts via ``jax.export``.
+
+The reference deploys by shipping the whole training repo and loading
+``model.pt`` into the model class at inference time (reference
+``evaluate.py:24-35``, ``recognition_model.py:30-45``). This module adds a
+deployment path the reference has no equivalent of: the flagship forwards
+are lowered ONCE to serialized StableHLO (per static time-bucket shape, as
+the MXU wants) and can be executed anywhere jax runs — no flax, no torch,
+no model code, no risk of a training-side edit changing serving numerics.
+
+Design notes (TPU-first):
+
+- **Static shape buckets.** Each exported function is lowered for a fixed
+  ``(batch=1, T)`` with ``T`` from ``t_buckets``; inputs pad to the
+  smallest covering bucket exactly like the trainers' solo-utterance
+  inference (``train/transduction.py::pad_single`` — padding is masked out
+  of attention by segment ids, so the result equals an unpadded forward).
+  This keeps XLA tiling static instead of relying on shape polymorphism,
+  which TPU executables cannot use anyway.
+- **Parameters are call arguments, not baked constants.** The artifact
+  stays a few hundred KB per bucket and the (57M-param) weight tree ships
+  once via orbax next to it; ``ServingBundle.load`` binds them.
+- **Multi-platform.** Bundles lower for CPU *and* TPU by default, so the
+  artifact exported on a dev host runs on the serving pod. The forward
+  passes segment ids, which routes attention through the tuned XLA path
+  (``models/transformer.py:178``) — no platform-specific custom calls in
+  the exported module.
+
+Bundle layout (``directory/``)::
+
+    manifest.json      kind, t_buckets, dims, charset (recognition)
+    fwd_t{T}.jexp      serialized jax.export.Exported per bucket
+    params/            orbax tree {params, batch_stats} (or generator)
+
+CLI — export a trained checkpoint (transduction or recognition is picked
+by ``--recognition``, matching the training CLIs)::
+
+    python -m silent_speech_tpu.eval.export --models run/model.pt \
+        --output_directory serving/ [--recognition] [--t_buckets 256,512]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_MANIFEST = "manifest.json"
+_PARAMS_DIR = "params"
+
+DEFAULT_T_BUCKETS = (256, 512, 1024, 2048)
+
+# input dims are fixed: remove_channels zeroes (does not drop) channels
+# (data/dataset.py:108-110), 14 features x 8 channels (dsp/emg_features.py)
+N_FEATURES = 112
+N_RAW_CHANNELS = 8
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def _specs_like(tree):
+    return jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), tree)
+
+
+def _input_specs(t: int, n_features: int, raw_channels: int):
+    return (
+        jax.ShapeDtypeStruct((1, t, n_features), jnp.float32),
+        jax.ShapeDtypeStruct((1, t * 8, raw_channels), jnp.float32),
+        jax.ShapeDtypeStruct((1, t), jnp.int32),
+        jax.ShapeDtypeStruct((1, t), jnp.int32),
+    )
+
+
+def export_trainer_forward(trainer, kind: str,
+                           t_buckets: Sequence[int] = DEFAULT_T_BUCKETS,
+                           platforms: Sequence[str] = ("cpu", "tpu")):
+    """Lower a trainer's solo-utterance inference forward for each time
+    bucket. Returns ``{t: jax.export.Exported}``.
+
+    ``kind``: ``"transduction"`` (→ (1,T,80) normalized mel) or
+    ``"recognition"`` (→ (1,T,38) CTC log-probs).
+    """
+    from jax import export as jexport
+
+    assert trainer.state is not None, "init/load the trainer state first"
+    model = trainer.model
+
+    def fwd(params, batch_stats, emg, raw, sess, seg):
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          emg, raw, sess, segment_ids=seg, train=False)
+        if kind == "transduction":
+            return out[0]  # (mel, phoneme_logits) → mel
+        return jax.nn.log_softmax(out, axis=-1)
+
+    params = jax.device_get(trainer.state.params)
+    stats = jax.device_get(trainer.state.batch_stats)
+    n_feat, n_raw = N_FEATURES, N_RAW_CHANNELS
+    exported = {}
+    for t in t_buckets:
+        assert t % 32 == 0, f"bucket {t} must be a multiple of 32"
+        exported[t] = jexport.export(
+            jax.jit(fwd), platforms=tuple(platforms))(
+            _specs_like(params), _specs_like(stats),
+            *_input_specs(t, n_feat, n_raw))
+    return exported
+
+
+def save_serving_bundle(trainer, kind: str, directory: str,
+                        t_buckets: Sequence[int] = DEFAULT_T_BUCKETS,
+                        platforms: Sequence[str] = ("cpu", "tpu")) -> str:
+    """Export + write a self-contained serving bundle. Returns the dir."""
+    os.makedirs(directory, exist_ok=True)
+    exported = export_trainer_forward(trainer, kind, t_buckets, platforms)
+    for t, exp in exported.items():
+        with open(os.path.join(directory, f"fwd_t{t}.jexp"), "wb") as f:
+            f.write(exp.serialize())
+
+    _checkpointer().save(
+        os.path.abspath(os.path.join(directory, _PARAMS_DIR)),
+        {"params": jax.device_get(trainer.state.params),
+         "batch_stats": jax.device_get(trainer.state.batch_stats)},
+        force=True)
+
+    manifest = {
+        "kind": kind,
+        "t_buckets": sorted(int(t) for t in t_buckets),
+        "platforms": list(platforms),
+        "num_features": N_FEATURES,
+        "num_raw_channels": N_RAW_CHANNELS,
+    }
+    if kind == "recognition":
+        manifest["charset"] = list(trainer.text_transform.chars)
+    with open(os.path.join(directory, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return directory
+
+
+class ServingBundle:
+    """Run an exported bundle: pad to the smallest covering bucket, call
+    the deserialized StableHLO, slice back to the true length."""
+
+    def __init__(self, directory: str):
+        from jax import export as jexport
+
+        with open(os.path.join(directory, _MANIFEST)) as f:
+            self.manifest = json.load(f)
+        self.kind = self.manifest["kind"]
+        self._fns = {}
+        for t in self.manifest["t_buckets"]:
+            with open(os.path.join(directory, f"fwd_t{t}.jexp"), "rb") as f:
+                self._fns[t] = jexport.deserialize(f.read())
+        tree = _checkpointer().restore(
+            os.path.abspath(os.path.join(directory, _PARAMS_DIR)))
+        self.params, self.batch_stats = tree["params"], tree["batch_stats"]
+
+    @classmethod
+    def load(cls, directory: str) -> "ServingBundle":
+        return cls(directory)
+
+    def _bucket(self, t: int) -> int:
+        for b in self.manifest["t_buckets"]:
+            if t <= b:
+                return b
+        raise ValueError(
+            f"utterance length {t} exceeds the largest exported bucket "
+            f"{self.manifest['t_buckets'][-1]}; re-export with a larger "
+            "t_buckets entry")
+
+    def predict(self, emg: np.ndarray, raw_emg: np.ndarray,
+                session_ids: Optional[np.ndarray] = None) -> np.ndarray:
+        """Solo-utterance inference: ``emg`` (T, num_features), ``raw_emg``
+        (T*8, raw_channels) → (T, 80) mel or (T, 38) CTC log-probs."""
+        t = emg.shape[0]
+        b = self._bucket(t)
+        emg_p = np.zeros((1, b, emg.shape[1]), np.float32)
+        emg_p[0, :t] = emg
+        raw_p = np.zeros((1, b * 8, raw_emg.shape[1]), np.float32)
+        raw_p[0, : t * 8] = raw_emg
+        sess = np.zeros((1, b), np.int32)
+        if session_ids is not None:
+            sess[0, :t] = session_ids
+        seg = np.zeros((1, b), np.int32)
+        seg[0, :t] = 1
+        out = self._fns[b].call(self.params, self.batch_stats,
+                                emg_p, raw_p, sess, seg)
+        return np.asarray(out)[0, :t]
+
+    def decode_greedy(self, log_probs: np.ndarray) -> str:
+        """Greedy CTC transcript from ``predict`` output (recognition)."""
+        assert self.kind == "recognition"
+        from .decode import greedy_ctc_decode
+
+        chars = self.manifest["charset"]
+        ids = greedy_ctc_decode(log_probs, blank_id=len(chars))
+        return "".join(chars[i] for i in ids)
+
+
+def main():
+    from absl import flags, logging
+
+    from silent_speech_tpu.config import config_from_flags
+
+    cfg = config_from_flags()
+    F = flags.FLAGS
+
+    kind = "recognition" if F.export_recognition else "transduction"
+    if kind == "recognition":
+        from silent_speech_tpu.train.recognition import RecognitionTrainer
+
+        trainer = RecognitionTrainer(cfg)
+    else:
+        from silent_speech_tpu.train.transduction import TransductionTrainer
+
+        trainer = TransductionTrainer(cfg)
+
+    from silent_speech_tpu.data.dataset import EMGDataset
+
+    dataset = EMGDataset(cfg.data, dev=True)
+    trainer.init_state(trainer._pack([dataset[0]]), seed=0)
+
+    models = list(F.models) if F.models else []
+    assert len(models) == 1, "pass exactly one --models checkpoint"
+    from silent_speech_tpu.train.checkpoint import load_any_checkpoint
+
+    params, stats = load_any_checkpoint(trainer.state, models[0],
+                                        num_layers=cfg.model.num_layers)
+    trainer.state = trainer.state.replace(params=params, batch_stats=stats)
+
+    out = save_serving_bundle(
+        trainer, kind, cfg.transduction.output_directory,
+        t_buckets=[int(t) for t in F.t_buckets])
+    logging.info("wrote %s serving bundle → %s", kind, out)
+
+
+if __name__ == "__main__":
+    import sys
+
+    from absl import flags
+
+    from silent_speech_tpu.config import define_flags
+
+    define_flags()
+    if "t_buckets" not in flags.FLAGS:
+        flags.DEFINE_list("t_buckets",
+                          [str(t) for t in DEFAULT_T_BUCKETS],
+                          "exported time buckets (multiples of 32)")
+        flags.DEFINE_bool("export_recognition", False,
+                          "export the recognition model (default: "
+                          "transduction)")
+    flags.FLAGS(sys.argv)
+    main()

@@ -79,6 +79,24 @@ def checkpoint_exists(directory: str, name: str = "checkpoint") -> bool:
     return os.path.isdir(os.path.join(directory, name))
 
 
+def load_any_checkpoint(state, path: str, num_layers: int = 6):
+    """(params, batch_stats) from a reference ``model.pt``, a run directory
+    containing ``checkpoint``, or an orbax checkpoint directory — loaded
+    into the structure of ``state`` (shared by evaluate.py and the serving
+    exporter)."""
+    if os.path.isdir(path):
+        if checkpoint_exists(path):   # run dir containing 'checkpoint'
+            state = restore_checkpoint(path, state)
+        else:                          # path IS the orbax checkpoint dir
+            state = restore_checkpoint(
+                os.path.dirname(path), state, name=os.path.basename(path))
+    else:
+        params, stats = load_reference_checkpoint(path,
+                                                  num_layers=num_layers)
+        state = load_params_into_state(state, params, stats)
+    return state.params, state.batch_stats
+
+
 def export_reference_checkpoint(state, path: str) -> None:
     """Write weights as a reference-compatible ``model.pt`` (needs torch)."""
     from ..models.convert import save_torch_checkpoint

@@ -1,0 +1,96 @@
+"""Serving export: StableHLO bundles round-trip and match live inference."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from silent_speech_tpu.config import Config
+from silent_speech_tpu.data.dataset import EMGDataset
+from silent_speech_tpu.data.synthetic import generate_corpus
+from silent_speech_tpu.eval.export import ServingBundle, save_serving_bundle
+from silent_speech_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("corpus_export"))
+    return generate_corpus(root, n_voiced_sessions=1, n_silent_sessions=1,
+                           utterances_per_session=4, seed=7)
+
+
+def _cfg(corpus_cfg, out):
+    cfg = Config()
+    cfg.data = corpus_cfg
+    cfg.model.model_size = 64
+    cfg.model.num_layers = 2
+    cfg.model.dim_feedforward = 128
+    cfg.model.dropout = 0.0
+    cfg.model.compute_dtype = "float32"
+    cfg.transduction.output_directory = out
+    return cfg
+
+
+def _buckets_for(t):
+    b = 32 * ((t + 31) // 32)
+    return (b, 2 * b)
+
+
+@pytest.fixture(scope="module")
+def devset(corpus):
+    return EMGDataset(corpus, dev=True)
+
+
+def test_transduction_bundle_matches_live(corpus, devset, tmp_path):
+    from silent_speech_tpu.train.transduction import TransductionTrainer
+
+    cfg = _cfg(corpus, str(tmp_path))
+    trainer = TransductionTrainer(
+        cfg, mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+    trainer.init_state(trainer._pack([devset[0]]), seed=0)
+
+    ex = devset[0]
+    bundle_dir = save_serving_bundle(
+        trainer, "transduction", str(tmp_path / "bundle"),
+        t_buckets=_buckets_for(ex["emg"].shape[0]))
+
+    bundle = ServingBundle.load(bundle_dir)
+    got = bundle.predict(np.asarray(ex["emg"]), np.asarray(ex["raw_emg"]),
+                         np.asarray(ex["session_ids"]))
+    want = trainer.predict(ex)
+    assert got.shape == want.shape == (ex["emg"].shape[0], 80)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+    # multi-platform lowering recorded in the manifest
+    assert bundle.manifest["platforms"] == ["cpu", "tpu"]
+
+    # a longer utterance picks the next bucket; overflow refuses loudly
+    t_max = bundle.manifest["t_buckets"][-1]
+    with pytest.raises(ValueError, match="largest exported bucket"):
+        bundle.predict(np.zeros((t_max + 1, 112), np.float32),
+                       np.zeros(((t_max + 1) * 8, 8), np.float32))
+
+
+def test_recognition_bundle_matches_live(corpus, devset, tmp_path):
+    from silent_speech_tpu.train.recognition import RecognitionTrainer
+
+    cfg = _cfg(corpus, str(tmp_path))
+    trainer = RecognitionTrainer(
+        cfg, mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+    trainer.init_state(trainer._pack([devset[0]]), seed=0)
+
+    ex = devset[0]
+    bundle_dir = save_serving_bundle(
+        trainer, "recognition", str(tmp_path / "bundle"),
+        t_buckets=_buckets_for(ex["emg"].shape[0]))
+
+    bundle = ServingBundle.load(bundle_dir)
+    # the live eval path zeroes session ids (recognition.py::predict_logits)
+    got = bundle.predict(np.asarray(ex["emg"]), np.asarray(ex["raw_emg"]))
+    want = trainer.predict_logits(ex)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+    # standalone greedy decode works from the manifest charset alone
+    text = bundle.decode_greedy(got)
+    assert isinstance(text, str)
