@@ -80,21 +80,74 @@ def _input_specs(t: int, n_features: int, raw_channels: int):
     )
 
 
+# --------------------------------------------------------------------------
+# int8 weight-only quantization (serving)
+# --------------------------------------------------------------------------
+#
+# Batch-1 serving on TPU is HBM-bandwidth-bound on the weight stream; storing
+# the big GEMM kernels as per-output-channel symmetric int8 quarters that
+# traffic (the dequantize multiply fuses into the matmul read under XLA).
+# Biases, norms, embeddings and small kernels stay float32.
+
+_QKEYS = frozenset(("int8", "scale"))
+
+
+def _quantize_leaf(w: np.ndarray) -> dict:
+    scale = np.max(np.abs(w), axis=tuple(range(w.ndim - 1)))
+    scale = np.maximum(scale / 127.0, 1e-12).astype(np.float32)
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return {"int8": q, "scale": scale}
+
+
+def is_quantized_leaf(node) -> bool:
+    return isinstance(node, dict) and set(node) == _QKEYS
+
+
+def quantize_tree(params, min_size: int = 4096):
+    """Per-output-channel symmetric int8 for every float ``kernel`` leaf
+    with ≥ ``min_size`` elements; everything else passes through."""
+    def rec(node, name):
+        if isinstance(node, dict):
+            return {k: rec(v, k) for k, v in node.items()}
+        arr = np.asarray(node)
+        if (name == "kernel" and arr.ndim >= 2 and arr.size >= min_size
+                and np.issubdtype(arr.dtype, np.floating)):
+            return _quantize_leaf(arr.astype(np.float32))
+        return arr
+
+    return rec(params, "")
+
+
+def dequantize_tree(qtree):
+    """Inverse of :func:`quantize_tree` (runs inside jit at serving time)."""
+    if is_quantized_leaf(qtree):
+        return (qtree["int8"].astype(jnp.float32) * qtree["scale"])
+    if isinstance(qtree, dict):
+        return {k: dequantize_tree(v) for k, v in qtree.items()}
+    return qtree
+
+
 def export_trainer_forward(trainer, kind: str,
                            t_buckets: Sequence[int] = DEFAULT_T_BUCKETS,
-                           platforms: Sequence[str] = ("cpu", "tpu")):
+                           platforms: Sequence[str] = ("cpu", "tpu"),
+                           quantize: Optional[str] = None):
     """Lower a trainer's solo-utterance inference forward for each time
-    bucket. Returns ``{t: jax.export.Exported}``.
+    bucket. Returns ``({t: jax.export.Exported}, params_tree)``.
 
     ``kind``: ``"transduction"`` (→ (1,T,80) normalized mel) or
     ``"recognition"`` (→ (1,T,38) CTC log-probs).
+    ``quantize="int8"``: weight-only per-channel int8 for the big kernels —
+    the exported module takes the quantized tree and dequantizes in-jit.
     """
     from jax import export as jexport
 
     assert trainer.state is not None, "init/load the trainer state first"
+    assert quantize in (None, "int8"), quantize
     model = trainer.model
 
     def fwd(params, batch_stats, emg, raw, sess, seg):
+        if quantize:
+            params = dequantize_tree(params)
         out = model.apply({"params": params, "batch_stats": batch_stats},
                           emg, raw, sess, segment_ids=seg, train=False)
         if kind == "transduction":
@@ -102,6 +155,8 @@ def export_trainer_forward(trainer, kind: str,
         return jax.nn.log_softmax(out, axis=-1)
 
     params = jax.device_get(trainer.state.params)
+    if quantize:
+        params = quantize_tree(params)
     stats = jax.device_get(trainer.state.batch_stats)
     n_feat, n_raw = N_FEATURES, N_RAW_CHANNELS
     exported = {}
@@ -111,22 +166,24 @@ def export_trainer_forward(trainer, kind: str,
             jax.jit(fwd), platforms=tuple(platforms))(
             _specs_like(params), _specs_like(stats),
             *_input_specs(t, n_feat, n_raw))
-    return exported
+    return exported, params
 
 
 def save_serving_bundle(trainer, kind: str, directory: str,
                         t_buckets: Sequence[int] = DEFAULT_T_BUCKETS,
-                        platforms: Sequence[str] = ("cpu", "tpu")) -> str:
+                        platforms: Sequence[str] = ("cpu", "tpu"),
+                        quantize: Optional[str] = None) -> str:
     """Export + write a self-contained serving bundle. Returns the dir."""
     os.makedirs(directory, exist_ok=True)
-    exported = export_trainer_forward(trainer, kind, t_buckets, platforms)
+    exported, params = export_trainer_forward(
+        trainer, kind, t_buckets, platforms, quantize=quantize)
     for t, exp in exported.items():
         with open(os.path.join(directory, f"fwd_t{t}.jexp"), "wb") as f:
             f.write(exp.serialize())
 
     _checkpointer().save(
         os.path.abspath(os.path.join(directory, _PARAMS_DIR)),
-        {"params": jax.device_get(trainer.state.params),
+        {"params": params,
          "batch_stats": jax.device_get(trainer.state.batch_stats)},
         force=True)
 
@@ -136,6 +193,7 @@ def save_serving_bundle(trainer, kind: str, directory: str,
         "platforms": list(platforms),
         "num_features": N_FEATURES,
         "num_raw_channels": N_RAW_CHANNELS,
+        "quantize": quantize,
     }
     if kind == "recognition":
         manifest["charset"] = list(trainer.text_transform.chars)
@@ -237,7 +295,8 @@ def main():
 
     out = save_serving_bundle(
         trainer, kind, cfg.transduction.output_directory,
-        t_buckets=[int(t) for t in F.t_buckets])
+        t_buckets=[int(t) for t in F.t_buckets],
+        quantize="int8" if F.export_int8 else None)
     logging.info("wrote %s serving bundle → %s", kind, out)
 
 
@@ -256,5 +315,8 @@ if __name__ == "__main__":
         flags.DEFINE_bool("export_recognition", False,
                           "export the recognition model (default: "
                           "transduction)")
+        flags.DEFINE_bool("export_int8", False,
+                          "weight-only per-channel int8 for the big "
+                          "kernels (smaller + less HBM traffic)")
     flags.FLAGS(sys.argv)
     main()

@@ -71,6 +71,46 @@ def test_transduction_bundle_matches_live(corpus, devset, tmp_path):
                        np.zeros(((t_max + 1) * 8, 8), np.float32))
 
 
+def test_int8_bundle_close_to_live(corpus, devset, tmp_path):
+    """Weight-only int8 serving: big kernels stored as per-channel int8,
+    output within a small relative error of the float forward."""
+    from silent_speech_tpu.eval.export import is_quantized_leaf
+    from silent_speech_tpu.train.transduction import TransductionTrainer
+
+    cfg = _cfg(corpus, str(tmp_path))
+    trainer = TransductionTrainer(
+        cfg, mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+    trainer.init_state(trainer._pack([devset[0]]), seed=0)
+
+    ex = devset[0]
+    bundle_dir = save_serving_bundle(
+        trainer, "transduction", str(tmp_path / "bundle_q"),
+        t_buckets=_buckets_for(ex["emg"].shape[0]), quantize="int8")
+
+    bundle = ServingBundle.load(bundle_dir)
+    assert bundle.manifest["quantize"] == "int8"
+
+    # the big kernels really are int8 on disk
+    n_q = [0]
+
+    def count(node):
+        if is_quantized_leaf(node):
+            assert np.asarray(node["int8"]).dtype == np.int8
+            n_q[0] += 1
+        elif isinstance(node, dict):
+            for v in node.values():
+                count(v)
+
+    count(bundle.params)
+    assert n_q[0] >= 4, f"expected several quantized kernels, got {n_q[0]}"
+
+    got = bundle.predict(np.asarray(ex["emg"]), np.asarray(ex["raw_emg"]),
+                         np.asarray(ex["session_ids"]))
+    want = trainer.predict(ex)
+    rel = np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-9)
+    assert rel < 0.05, f"int8 relative error {rel:.4f}"
+
+
 def test_recognition_bundle_matches_live(corpus, devset, tmp_path):
     from silent_speech_tpu.train.recognition import RecognitionTrainer
 
