@@ -202,6 +202,46 @@ def save_serving_bundle(trainer, kind: str, directory: str,
     return directory
 
 
+DEFAULT_MEL_BUCKETS = (128, 256, 512, 1024)
+
+
+def save_vocoder_bundle(vocoder, directory: str,
+                        mel_buckets: Sequence[int] = DEFAULT_MEL_BUCKETS,
+                        platforms: Sequence[str] = ("cpu", "tpu")) -> str:
+    """Export the HiFi-GAN generator (mel (1,F,80) → waveform (1,F·hop))
+    per mel-frame bucket. Together with a transduction bundle this is the
+    complete EMG→speech serving chain, model-code-free. ``vocoder`` is a
+    ``models.hifigan.Vocoder`` (or anything with ``.params``/``.cfg``)."""
+    from jax import export as jexport
+
+    from ..models.hifigan import generator_apply
+
+    os.makedirs(directory, exist_ok=True)
+    cfg = vocoder.cfg
+    params = jax.device_get(vocoder.params)
+
+    def fwd(p, mel):
+        return generator_apply(p, mel, cfg)
+
+    for f_ in mel_buckets:
+        exp = jexport.export(jax.jit(fwd), platforms=tuple(platforms))(
+            _specs_like(params),
+            jax.ShapeDtypeStruct((1, f_, cfg.num_mels), jnp.float32))
+        with open(os.path.join(directory, f"fwd_t{f_}.jexp"), "wb") as f:
+            f.write(exp.serialize())
+
+    _checkpointer().save(
+        os.path.abspath(os.path.join(directory, _PARAMS_DIR)),
+        {"params": params, "batch_stats": {}}, force=True)
+    with open(os.path.join(directory, _MANIFEST), "w") as f:
+        json.dump({"kind": "vocoder",
+                   "t_buckets": sorted(int(b) for b in mel_buckets),
+                   "platforms": list(platforms),
+                   "num_mels": cfg.num_mels,
+                   "hop_length": cfg.hop_length}, f, indent=1)
+    return directory
+
+
 class ServingBundle:
     """Run an exported bundle: pad to the smallest covering bucket, call
     the deserialized StableHLO, slice back to the true length."""
@@ -251,6 +291,19 @@ class ServingBundle:
         out = self._fns[b].call(self.params, self.batch_stats,
                                 emg_p, raw_p, sess, seg)
         return np.asarray(out)[0, :t]
+
+    def vocode(self, mel: np.ndarray) -> np.ndarray:
+        """mel (F, num_mels) → waveform (F·hop,) (vocoder bundles). The
+        generator is convolutional, so the last few hundred samples sit in
+        the receptive field of the pad boundary and may differ slightly
+        from an unpadded run."""
+        assert self.kind == "vocoder", self.kind
+        t = mel.shape[0]
+        b = self._bucket(t)
+        mel_p = np.zeros((1, b, mel.shape[1]), np.float32)
+        mel_p[0, :t] = mel
+        out = self._fns[b].call(self.params, mel_p)
+        return np.asarray(out)[0, : t * self.manifest["hop_length"]]
 
     def decode_greedy(self, log_probs: np.ndarray) -> str:
         """Greedy CTC transcript from ``predict`` output (recognition)."""

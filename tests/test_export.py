@@ -111,6 +111,36 @@ def test_int8_bundle_close_to_live(corpus, devset, tmp_path):
     assert rel < 0.05, f"int8 relative error {rel:.4f}"
 
 
+def test_vocoder_bundle_matches_live(tmp_path):
+    from silent_speech_tpu.eval.export import save_vocoder_bundle
+    from silent_speech_tpu.models.hifigan import (
+        HiFiGANConfig, generator_apply, init_generator_params,
+    )
+
+    cfg = HiFiGANConfig(
+        resblock="1", upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 2),), num_mels=80)
+    params = init_generator_params(jax.random.PRNGKey(0), cfg)
+
+    class V:
+        pass
+
+    v = V()
+    v.params, v.cfg = params, cfg
+    d = save_vocoder_bundle(v, str(tmp_path / "voc"), mel_buckets=(32, 64))
+
+    bundle = ServingBundle.load(d)
+    mel = np.random.default_rng(5).normal(size=(20, 80)).astype(np.float32)
+    got = bundle.vocode(mel)
+    want = np.asarray(generator_apply(params, np.asarray(mel)[None], cfg))[0]
+    hop = cfg.hop_length
+    assert got.shape == (20 * hop,)
+    # everything outside the pad boundary's receptive field matches
+    np.testing.assert_allclose(got[: -8 * hop], want[: -8 * hop],
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_recognition_bundle_matches_live(corpus, devset, tmp_path):
     from silent_speech_tpu.train.recognition import RecognitionTrainer
 
