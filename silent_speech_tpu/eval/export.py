@@ -91,9 +91,16 @@ def _input_specs(t: int, n_features: int, raw_channels: int):
 
 _QKEYS = frozenset(("int8", "scale"))
 
+# GEMM weight leaves: flax Dense/Conv kernels plus the attention
+# projections (models/transformer.py:162-165)
+_QNAMES = frozenset(("kernel", "w_q", "w_k", "w_v", "w_o"))
+
 
 def _quantize_leaf(w: np.ndarray) -> dict:
-    scale = np.max(np.abs(w), axis=tuple(range(w.ndim - 1)))
+    # scale per slice of the contraction (second-to-last) axis: per output
+    # channel for (in, out) Dense kernels, per (k, out) for conv kernels,
+    # per (head, out) for the (h, d, a) attention projections
+    scale = np.max(np.abs(w), axis=-2, keepdims=True)
     scale = np.maximum(scale / 127.0, 1e-12).astype(np.float32)
     q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
     return {"int8": q, "scale": scale}
@@ -104,13 +111,13 @@ def is_quantized_leaf(node) -> bool:
 
 
 def quantize_tree(params, min_size: int = 4096):
-    """Per-output-channel symmetric int8 for every float ``kernel`` leaf
-    with ≥ ``min_size`` elements; everything else passes through."""
+    """Per-channel symmetric int8 for every float GEMM-weight leaf with
+    ≥ ``min_size`` elements; everything else passes through."""
     def rec(node, name):
         if isinstance(node, dict):
             return {k: rec(v, k) for k, v in node.items()}
         arr = np.asarray(node)
-        if (name == "kernel" and arr.ndim >= 2 and arr.size >= min_size
+        if (name in _QNAMES and arr.ndim >= 2 and arr.size >= min_size
                 and np.issubdtype(arr.dtype, np.floating)):
             return _quantize_leaf(arr.astype(np.float32))
         return arr
@@ -286,6 +293,14 @@ class ServingBundle:
         sess = np.zeros((1, b), np.int32)
         if session_ids is not None:
             sess[0, :t] = session_ids
+        elif self.kind == "transduction":
+            # the live transduction path conditions on the session
+            # embedding (train/transduction.py::pad_single); a silent
+            # all-zeros substitute would produce session-0 voice for
+            # every speaker. Recognition's live eval path zeroes them.
+            raise ValueError(
+                "transduction bundles require session_ids (the model "
+                "conditions on the session embedding)")
         seg = np.zeros((1, b), np.int32)
         seg[0, :t] = 1
         out = self._fns[b].call(self.params, self.batch_stats,
@@ -300,7 +315,9 @@ class ServingBundle:
         assert self.kind == "vocoder", self.kind
         t = mel.shape[0]
         b = self._bucket(t)
-        mel_p = np.zeros((1, b, mel.shape[1]), np.float32)
+        # pad with the log-mel floor (dsp/mel.py: log(clip(x, 1e-5))) —
+        # silence, not the loud broadband energy a 0.0 log-mel would be
+        mel_p = np.full((1, b, mel.shape[1]), np.log(1e-5), np.float32)
         mel_p[0, :t] = mel
         out = self._fns[b].call(self.params, mel_p)
         return np.asarray(out)[0, : t * self.manifest["hop_length"]]
@@ -313,6 +330,22 @@ class ServingBundle:
         chars = self.manifest["charset"]
         ids = greedy_ctc_decode(log_probs, blank_id=len(chars))
         return "".join(chars[i] for i in ids)
+
+
+def _synthetic_example(t: int = 112) -> dict:
+    """A schema-shaped random utterance, enough to init trainer state."""
+    rng = np.random.default_rng(0)
+    return {
+        "emg": rng.normal(size=(t, N_FEATURES)).astype(np.float32),
+        "raw_emg": rng.normal(size=(t * 8, N_RAW_CHANNELS)).astype(
+            np.float32),
+        "session_ids": np.zeros(t, np.int64),
+        "audio_features": rng.normal(size=(t, 80)).astype(np.float32),
+        "silent": False,
+        "text": "export",
+        "text_int": rng.integers(0, 37, size=12).astype(np.int64),
+        "phonemes": rng.integers(0, 48, size=t).astype(np.int64),
+    }
 
 
 def main():
@@ -333,10 +366,9 @@ def main():
 
         trainer = TransductionTrainer(cfg)
 
-    from silent_speech_tpu.data.dataset import EMGDataset
-
-    dataset = EMGDataset(cfg.data, dev=True)
-    trainer.init_state(trainer._pack([dataset[0]]), seed=0)
+    # init state shapes from a synthetic example — exporting a checkpoint
+    # must not require the training corpus on the exporting host
+    trainer.init_state(trainer._pack([_synthetic_example()]), seed=0)
 
     models = list(F.models) if F.models else []
     assert len(models) == 1, "pass exactly one --models checkpoint"

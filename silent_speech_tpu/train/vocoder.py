@@ -195,9 +195,17 @@ class VocoderTrainer:
     def train(self, source: VocoderDataSource, steps: int,
               batch_size: int = 16, steps_per_epoch: int = 1000,
               log_every: int = 100,
-              segment_frames: Optional[int] = None) -> dict:
-        batches = source.batches(batch_size,
-                                 segment_frames or SEGMENT_FRAMES)
+              segment_frames: Optional[int] = None,
+              on_step=None) -> dict:
+        """Run the GAN loop; ``on_step(i, metrics_dict)`` (floats) is
+        called after every step when given — the accuracy artifact uses it
+        to record curves through this exact production loop."""
+        if segment_frames is not None and segment_frames <= 0:
+            raise ValueError(f"segment_frames must be > 0, "
+                             f"got {segment_frames}")
+        batches = source.batches(
+            batch_size,
+            SEGMENT_FRAMES if segment_frames is None else segment_frames)
         metrics = {}
         t0 = time.time()
         for i in range(steps):
@@ -208,6 +216,8 @@ class VocoderTrainer:
              self.disc_opt, metrics) = self._step(
                 self.gen_params, self.disc_params, self.gen_opt,
                 self.disc_opt, jnp.asarray(mels), jnp.asarray(audio), lr)
+            if on_step is not None:
+                on_step(i, {k: float(v) for k, v in metrics.items()})
             if log_every and (i + 1) % log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 logging.info(

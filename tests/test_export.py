@@ -90,19 +90,22 @@ def test_int8_bundle_close_to_live(corpus, devset, tmp_path):
     bundle = ServingBundle.load(bundle_dir)
     assert bundle.manifest["quantize"] == "int8"
 
-    # the big kernels really are int8 on disk
-    n_q = [0]
+    # the big kernels really are int8 on disk — including the attention
+    # projections (w_q/w_k/w_v/w_o), not just flax "kernel" leaves
+    q_names = []
 
-    def count(node):
+    def count(node, name=""):
         if is_quantized_leaf(node):
             assert np.asarray(node["int8"]).dtype == np.int8
-            n_q[0] += 1
+            q_names.append(name)
         elif isinstance(node, dict):
-            for v in node.values():
-                count(v)
+            for k, v in node.items():
+                count(v, k)
 
     count(bundle.params)
-    assert n_q[0] >= 4, f"expected several quantized kernels, got {n_q[0]}"
+    assert len(q_names) >= 4, f"expected several quantized kernels: {q_names}"
+    for attn in ("w_q", "w_k", "w_v", "w_o"):
+        assert attn in q_names, f"{attn} not quantized: {sorted(set(q_names))}"
 
     got = bundle.predict(np.asarray(ex["emg"]), np.asarray(ex["raw_emg"]),
                          np.asarray(ex["session_ids"]))

@@ -119,23 +119,21 @@ def main(steps=240, work=None):
             os.link(p, dst)
     source = VocoderDataSource(train_dir, hop=HOP, seed=1, mel_cfg=mel_cfg)
 
-    batches = source.batches(BATCH, SEG_FRAMES)
+    # the production loop itself (VocoderTrainer.train), curve recorded
+    # via its on_step hook — nothing re-implemented here
     mel_curve = []
     t0 = time.time()
-    import jax.numpy as jnp
-    for i in range(steps):
-        mels, audio = next(batches)
-        lr = np.float32(trainer.lr * trainer.lr_decay ** (i // 100))
-        (trainer.gen_params, trainer.disc_params, trainer.gen_opt,
-         trainer.disc_opt, metrics) = trainer._step(
-            trainer.gen_params, trainer.disc_params, trainer.gen_opt,
-            trainer.disc_opt, jnp.asarray(mels), jnp.asarray(audio), lr)
-        mel_curve.append(float(metrics["mel_l1"]))
+
+    def on_step(i, m):
+        mel_curve.append(m["mel_l1"])
         if (i + 1) % 20 == 0:
-            print(f"step {i + 1}: mel_l1={mel_curve[-1]:.4f} "
-                  f"g={float(metrics['g_loss']):.3f} "
-                  f"d={float(metrics['d_loss']):.3f} "
+            print(f"step {i + 1}: mel_l1={m['mel_l1']:.4f} "
+                  f"g={m['g_loss']:.3f} d={m['d_loss']:.3f} "
                   f"({(i + 1) / (time.time() - t0):.2f} it/s)", flush=True)
+
+    trainer.train(source, steps=steps, batch_size=BATCH,
+                  steps_per_epoch=100, log_every=0,
+                  segment_frames=SEG_FRAMES, on_step=on_step)
 
     early = float(np.mean(mel_curve[5:30]))
     late = float(np.mean(mel_curve[-25:]))
@@ -183,9 +181,14 @@ and the claim is that the GAN loop *optimizes*, which is scale-free).
   audio): {untrained_l1:.3f} untrained -> {trained_l1:.3f} trained;
   gate <= 0.6x untrained: **{heldout_gate}**
 """
-    with open(os.path.join("docs", "ACCURACY.md"), "a") as f:
-        f.write(md)
-    print("wrote docs/ACCURACY.json + appended docs/ACCURACY.md")
+    md_path = os.path.join("docs", "ACCURACY.md")
+    existing = open(md_path).read() if os.path.exists(md_path) else ""
+    marker = "\n## Vocoder (mel -> waveform, HiFi-GAN GAN loop)"
+    if marker in existing:  # replace the section on rerun, don't append
+        existing = existing[: existing.index(marker)]
+    with open(md_path, "w") as f:
+        f.write(existing + md)
+    print("wrote docs/ACCURACY.json + updated docs/ACCURACY.md")
     return result
 
 
