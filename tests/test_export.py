@@ -144,6 +144,53 @@ def test_vocoder_bundle_matches_live(tmp_path):
                                atol=2e-5, rtol=1e-4)
 
 
+def test_export_cli_corpus_free(tmp_path):
+    """The export CLI needs only the checkpoint — no training corpus on
+    the exporting host."""
+    import os
+    import subprocess
+    import sys
+
+    from silent_speech_tpu.eval.export import _synthetic_example
+    from silent_speech_tpu.train.checkpoint import (
+        export_reference_checkpoint,
+    )
+    from silent_speech_tpu.train.transduction import TransductionTrainer
+
+    pytest.importorskip("torch")
+    # default data config (no corpus dirs touched); dim_feedforward stays
+    # at the architecture default — the CLI has no flag for it, so the
+    # subprocess must rebuild the same shapes
+    cfg = Config()
+    cfg.model.model_size = 64
+    cfg.model.num_layers = 2
+    cfg.model.dropout = 0.0
+    cfg.model.compute_dtype = "float32"
+    trainer = TransductionTrainer(
+        cfg, mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+    trainer.init_state(trainer._pack([_synthetic_example()]), seed=0)
+    model_pt = str(tmp_path / "model.pt")
+    export_reference_checkpoint(trainer.state, model_pt)
+
+    env = dict(os.environ)
+    env["SSTPU_FORCE_PLATFORM"] = "cpu:1"
+    out = str(tmp_path / "serving")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "silent_speech_tpu.eval.export",
+         "--output_directory", out, "--model_size", "64",
+         "--num_layers", "2", "--dropout", "0.0", "--models", model_pt,
+         "--t_buckets", "128"],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=800)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    bundle = ServingBundle.load(out)
+    got = bundle.predict(np.zeros((100, 112), np.float32),
+                         np.zeros((800, 8), np.float32),
+                         np.zeros(100, np.int64))
+    assert got.shape == (100, 80) and np.isfinite(got).all()
+
+
 def test_recognition_bundle_matches_live(corpus, devset, tmp_path):
     from silent_speech_tpu.train.recognition import RecognitionTrainer
 
