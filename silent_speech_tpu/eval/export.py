@@ -179,8 +179,13 @@ def export_trainer_forward(trainer, kind: str,
 def save_serving_bundle(trainer, kind: str, directory: str,
                         t_buckets: Sequence[int] = DEFAULT_T_BUCKETS,
                         platforms: Sequence[str] = ("cpu", "tpu"),
-                        quantize: Optional[str] = None) -> str:
-    """Export + write a self-contained serving bundle. Returns the dir."""
+                        quantize: Optional[str] = None,
+                        audio_normalizer=None) -> str:
+    """Export + write a self-contained serving bundle. Returns the dir.
+
+    ``audio_normalizer`` (a ``data.normalizers.FeatureNormalizer``, the
+    dataset's ``mfcc_norm``) embeds the mel denormalization stats in the
+    manifest so a downstream vocoder can run without the corpus."""
     os.makedirs(directory, exist_ok=True)
     exported, params = export_trainer_forward(
         trainer, kind, t_buckets, platforms, quantize=quantize)
@@ -204,6 +209,13 @@ def save_serving_bundle(trainer, kind: str, directory: str,
     }
     if kind == "recognition":
         manifest["charset"] = list(trainer.text_transform.chars)
+    if audio_normalizer is not None:
+        manifest["audio_normalizer"] = {
+            "means": np.asarray(
+                audio_normalizer.feature_means).ravel().tolist(),
+            "stddevs": np.asarray(
+                audio_normalizer.feature_stddevs).ravel().tolist(),
+        }
     with open(os.path.join(directory, _MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1)
     return directory
@@ -307,6 +319,18 @@ class ServingBundle:
                                 emg_p, raw_p, sess, seg)
         return np.asarray(out)[0, :t]
 
+    @property
+    def has_normalizer(self) -> bool:
+        return "audio_normalizer" in self.manifest
+
+    def denormalize(self, mel: np.ndarray) -> np.ndarray:
+        """Normalized mel (as ``predict`` returns) → log-mel for a
+        vocoder, using the stats embedded at export time."""
+        n = self.manifest["audio_normalizer"]
+        means = np.asarray(n["means"], np.float32)
+        stds = np.asarray(n["stddevs"], np.float32)
+        return mel * stds + means
+
     def vocode(self, mel: np.ndarray) -> np.ndarray:
         """mel (F, num_mels) → waveform (F·hop,) (vocoder bundles). The
         generator is convolutional, so the last few hundred samples sit in
@@ -378,11 +402,19 @@ def main():
                                         num_layers=cfg.model.num_layers)
     trainer.state = trainer.state.replace(params=params, batch_stats=stats)
 
+    audio_norm = None
+    if kind == "transduction" and os.path.exists(cfg.data.normalizers_file):
+        from silent_speech_tpu.data.normalizers import load_normalizers
+
+        audio_norm, _ = load_normalizers(cfg.data.normalizers_file)
+
     out = save_serving_bundle(
         trainer, kind, cfg.transduction.output_directory,
         t_buckets=[int(t) for t in F.t_buckets],
-        quantize="int8" if F.export_int8 else None)
-    logging.info("wrote %s serving bundle → %s", kind, out)
+        quantize="int8" if F.export_int8 else None,
+        audio_normalizer=audio_norm)
+    logging.info("wrote %s serving bundle → %s (mel normalizer: %s)",
+                 kind, out, "embedded" if audio_norm else "absent")
 
 
 if __name__ == "__main__":
