@@ -10,6 +10,9 @@ import pytest
 
 from silent_speech_tpu.data.synthetic import generate_corpus
 
+pytestmark = pytest.mark.slow  # full train-step compiles / subprocess e2e / torch replicas
+
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

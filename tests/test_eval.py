@@ -46,6 +46,7 @@ def trainers(corpus):
     return out
 
 
+@pytest.mark.slow  # full train-step / heavy compile
 def test_ensemble_of_one_matches_single(corpus, trainers):
     devset = EMGDataset(corpus, dev=True)
     single = trainers[0].evaluate(devset)
@@ -54,6 +55,7 @@ def test_ensemble_of_one_matches_single(corpus, trainers):
     assert ens[1] == pytest.approx(single[1], abs=1e-9)
 
 
+@pytest.mark.slow  # full train-step / heavy compile
 def test_ensemble_of_two_runs_and_averages(corpus, trainers):
     devset = EMGDataset(corpus, dev=True)
     ens = EnsemblePredictor(trainers)
@@ -67,6 +69,7 @@ def test_ensemble_of_two_runs_and_averages(corpus, trainers):
     np.testing.assert_allclose(pe, (p0 + p1) / 2, atol=1e-5)
 
 
+@pytest.mark.slow  # full train-step / heavy compile
 def test_save_output_writes_wav(corpus, trainers, tmp_path):
     devset = EMGDataset(corpus, dev=True)
 
@@ -112,6 +115,7 @@ def test_asr_interface_gating():
         DeepSpeechASR()
 
 
+@pytest.mark.slow  # full train-step / heavy compile
 def test_transformers_asr_end_to_end(tmp_path):
     """Run the full ASR-judge path (TransformersASR.transcribe +
     evaluate()) against a tiny randomly-initialized wav2vec2 built

@@ -11,6 +11,9 @@ from silent_speech_tpu.data.synthetic import generate_corpus
 from silent_speech_tpu.eval.export import ServingBundle, save_serving_bundle
 from silent_speech_tpu.parallel.mesh import make_mesh
 
+pytestmark = pytest.mark.slow  # full train-step compiles / subprocess e2e / torch replicas
+
+
 
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):

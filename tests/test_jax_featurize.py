@@ -48,6 +48,7 @@ def test_length_arithmetic_matches_host():
         assert mel_frames_len(n) == log_mel_spectrogram(audio).shape[0]
 
 
+@pytest.mark.slow  # full train-step / heavy compile
 def test_examples_match_host_path(dataset):
     got = featurize_on_device(dataset)
     assert len(got) == len(dataset)
@@ -81,6 +82,7 @@ def test_examples_match_host_path(dataset):
                 want["parallel_voiced_audio_features"], atol=2e-2)
 
 
+@pytest.mark.slow  # full train-step / heavy compile
 def test_device_corpus_from_jax_pipeline(dataset):
     """build_device_corpus('jax') yields the same corpus layout as the
     host path; arrays agree within the float32 pipeline tolerance."""
@@ -108,6 +110,7 @@ def test_device_corpus_from_jax_pipeline(dataset):
                                np.asarray(b.tgt_flat), atol=2e-2)
 
 
+@pytest.mark.slow  # full train-step / heavy compile
 def test_training_step_on_jax_featurized_corpus(corpus, dataset):
     """End-to-end: a transduction cache step over the device-featurized
     corpus runs and matches the host-featurized corpus loss closely."""

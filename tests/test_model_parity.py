@@ -15,6 +15,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # full train-step compiles / subprocess e2e / torch replicas
+
+
 REF = "/root/reference"
 
 

@@ -18,6 +18,9 @@ from silent_speech_tpu.eval.export import (
 from silent_speech_tpu.eval.server import ServingServer
 from silent_speech_tpu.parallel.mesh import make_mesh
 
+pytestmark = pytest.mark.slow  # full train-step compiles / subprocess e2e / torch replicas
+
+
 
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):

@@ -13,6 +13,9 @@ from silent_speech_tpu.eval.streaming import (
 from silent_speech_tpu.parallel.mesh import make_mesh
 from silent_speech_tpu.train.recognition import RecognitionTrainer
 
+pytestmark = pytest.mark.slow  # full train-step compiles / subprocess e2e / torch replicas
+
+
 
 @pytest.fixture(scope="module")
 def trainer():

@@ -13,6 +13,9 @@ from silent_speech_tpu.data.synthetic import generate_corpus
 from silent_speech_tpu.parallel.mesh import make_mesh, shard_batch
 from silent_speech_tpu.train.recognition import RecognitionTrainer
 
+pytestmark = pytest.mark.slow  # full train-step compiles / subprocess e2e / torch replicas
+
+
 
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):

@@ -16,6 +16,9 @@ from silent_speech_tpu.data.synthetic import generate_corpus
 from silent_speech_tpu.parallel.mesh import make_mesh
 from silent_speech_tpu.train.transduction import TransductionTrainer
 
+pytestmark = pytest.mark.slow  # full train-step compiles / subprocess e2e / torch replicas
+
+
 
 def _tiny_config(corpus_cfg, out_dir):
     cfg = Config()

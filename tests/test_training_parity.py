@@ -26,6 +26,9 @@ import pytest
 
 import jax
 
+pytestmark = pytest.mark.slow  # full train-step compiles / subprocess e2e / torch replicas
+
+
 REF = "/root/reference"
 
 

@@ -27,6 +27,8 @@ from test_training_parity import (
     _combine_fixed_length_torch, _decollate_torch, _patch_torch2_compat,
     _ref_batches)
 
+pytestmark = pytest.mark.slow  # full train-step compiles / subprocess e2e / torch replicas
+
 REF = "/root/reference"
 
 

@@ -19,6 +19,9 @@ from silent_speech_tpu.train.vocoder import (
 )
 from silent_speech_tpu.utils.audio_io import write_wav
 
+pytestmark = pytest.mark.slow  # full train-step compiles / subprocess e2e / torch replicas
+
+
 TINY_GEN = HiFiGANConfig(
     resblock="1", upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
     upsample_initial_channel=16, resblock_kernel_sizes=(3,),
