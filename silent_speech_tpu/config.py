@@ -94,6 +94,11 @@ class DataConfig:
     # pipeline (data/jax_featurize.py); "host" uses the per-utterance
     # scipy/numpy path (data/dataset.py)
     cache_featurize: str = "jax"
+    # fraction of per-device HBM the corpus cache may occupy (the rest is
+    # params/optimizer/activations). Exceeding it falls back to the host
+    # packing path with a warning (see data/device_cache.py's bytes/hour
+    # arithmetic). <=0 disables the check.
+    cache_hbm_fraction: float = 0.4
 
 
 @dataclass

@@ -9,9 +9,27 @@ traffic per step drops from ~16 MB to a few hundred bytes.
 
 This is the TPU-first replacement for the reference's per-batch host
 collation (``read_emg.py:261-296`` + ``combine_fixed_length``): the
-reference re-uploads every batch; here the corpus uploads once (it fits
-HBM: hours of EMG ≈ a few GB) and XLA gathers assemble batches at HBM
-bandwidth. Assembly output matches ``pack_batch`` bit-for-bit (tested).
+reference re-uploads every batch; here the corpus uploads once and XLA
+gathers assemble batches at HBM bandwidth. Assembly output matches
+``pack_batch`` bit-for-bit (tested).
+
+HBM budget arithmetic (f32, both timelines at ~86.13 fps):
+
+- raw EMG, frame-grouped:  86.13 fps · 3600 s · 64 f32 · 4 B ≈ 79 MB/h
+- mel targets:             86.13 fps · 3600 s · 80 f32 · 4 B ≈ 99 MB/h
+- phonemes (int32):        86.13 fps · 3600 s · 4 B           ≈ 1.2 MB/h
+- text/offsets:            negligible (<1 MB/h)
+
+≈ **0.18 GB per corpus hour** — silent utterances also carry their paired
+voiced target's mel+phonemes, so the reference corpus (~20 h total) lands
+around 3.6–4 GB. That must coexist with params+optimizer (~1.3 GB at the
+reference's 110 M params under AdamW) and the step's activations, so the
+cache is only allowed a fraction of per-device HBM
+(``cache_hbm_fraction``, default 0.4 of a 16 GB v5e chip ⇒ ~6.4 GB ⇒
+~35 corpus hours). ``DeviceCorpus.build`` measures the EXACT host bytes
+before upload and raises :class:`HBMBudgetError` with the full arithmetic
+when over budget; the trainers catch it and fall back to the host packing
+path (per-batch upload — slower, but unbounded).
 """
 
 from __future__ import annotations
@@ -25,6 +43,48 @@ import jax.numpy as jnp
 import numpy as np
 
 from .packing import DeviceBatch
+
+
+class HBMBudgetError(RuntimeError):
+    """Corpus cache would exceed its per-device HBM allowance.
+
+    Carries the exact byte accounting so the refusal is actionable; the
+    trainers catch this and fall back to host-side per-batch packing."""
+
+    def __init__(self, total_bytes: int, budget_bytes: int,
+                 breakdown: dict):
+        self.total_bytes = total_bytes
+        self.budget_bytes = budget_bytes
+        self.breakdown = breakdown
+        detail = ", ".join(f"{k}={v / 2**20:.1f} MiB"
+                           for k, v in breakdown.items())
+        super().__init__(
+            f"HBM corpus cache needs {total_bytes / 2**30:.2f} GiB "
+            f"({detail}) but the per-device budget is "
+            f"{budget_bytes / 2**30:.2f} GiB; falling back to the host "
+            f"packing path (set data.cache_hbm_fraction or "
+            f"SSTPU_CACHE_BUDGET_BYTES to raise the allowance, or "
+            f"data.device_cache=False to silence this)")
+
+
+def _device_hbm_budget(fraction: float) -> Optional[int]:
+    """Per-device cache allowance in bytes, or None when undeterminable.
+
+    Order: explicit ``SSTPU_CACHE_BUDGET_BYTES`` env override, then
+    ``memory_stats()['bytes_limit']`` of device 0 (real TPUs report it;
+    virtual CPU devices generally don't) scaled by ``fraction``."""
+    import os
+
+    env = os.environ.get("SSTPU_CACHE_BUDGET_BYTES")
+    if env:
+        return int(env)
+    try:
+        stats = jax.devices()[0].memory_stats()
+    except Exception:
+        return None
+    if not stats or "bytes_limit" not in stats:
+        return None
+    return int(stats["bytes_limit"] * fraction)
 
 
 class CorpusArrays(NamedTuple):
@@ -62,14 +122,20 @@ class DeviceCorpus:
     text_len_host: np.ndarray
 
     @staticmethod
-    def build(examples: Sequence[dict], device=None,
-              mesh=None) -> "DeviceCorpus":
+    def build(examples: Sequence[dict], device=None, mesh=None,
+              hbm_fraction: float = 0.4) -> "DeviceCorpus":
         """Host-side flattening of featurized example dicts (the
         ``EMGDataset.__getitem__`` schema), then one upload.
 
         With ``mesh``, the flat arrays replicate across every device (the
-        corpus is small next to HBM; batches shard at assembly time via
-        ``constrain_batch`` in the trainers' cache steps)."""
+        corpus is replicated, not sharded: batches shard at assembly time
+        via ``constrain_batch`` in the trainers' cache steps).
+
+        Before uploading, the EXACT host bytes are measured against the
+        per-device allowance (``hbm_fraction`` of the device's reported
+        ``bytes_limit``, or ``SSTPU_CACHE_BUDGET_BYTES``); over budget
+        raises :class:`HBMBudgetError` — see the module docstring for the
+        bytes/hour arithmetic. ``hbm_fraction <= 0`` disables the check."""
         raw_parts, tgt_parts, phon_parts, text_parts = [], [], [], []
         feat_len, raw_off, tgt_off, tgt_len = [], [], [], []
         text_off, text_len, session_id, silent = [], [], [], []
@@ -119,6 +185,14 @@ class DeviceCorpus:
             session_id=np.asarray(session_id, np.int32),
             silent=np.asarray(silent, bool),
         )
+        if hbm_fraction > 0:
+            breakdown = {f: getattr(arrays, f).nbytes
+                         for f in arrays._fields}
+            total = sum(breakdown.values())
+            budget = _device_hbm_budget(hbm_fraction)
+            if budget is not None and total > budget:
+                raise HBMBudgetError(total, budget, breakdown)
+
         if mesh is not None and mesh.devices.size > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 

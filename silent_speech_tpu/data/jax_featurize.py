@@ -341,14 +341,18 @@ def featurize_on_device(dataset, ids: Optional[Sequence[int]] = None,
     return examples
 
 
-def build_device_corpus(dataset, mesh=None, featurize: str = "jax"):
+def build_device_corpus(dataset, mesh=None, featurize: str = "jax",
+                        hbm_fraction: float = 0.4):
     """Build the HBM corpus cache, featurizing with the device DSP
     pipeline by default (``featurize="host"`` falls back to the
-    per-utterance host path)."""
+    per-utterance host path). Raises ``HBMBudgetError`` when the corpus
+    would exceed ``hbm_fraction`` of per-device HBM (callers fall back
+    to host packing)."""
     from .device_cache import DeviceCorpus
 
     if featurize == "jax":
         examples = featurize_on_device(dataset)
     else:
         examples = [dataset[i] for i in range(len(dataset))]
-    return DeviceCorpus.build(examples, mesh=mesh)
+    return DeviceCorpus.build(examples, mesh=mesh,
+                              hbm_fraction=hbm_fraction)

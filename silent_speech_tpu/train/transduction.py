@@ -471,14 +471,21 @@ class TransductionTrainer:
 
         corpus = None
         if self.cfg.data.device_cache and self.cfg.data.fixed_shapes:
+            from ..data.device_cache import HBMBudgetError
             from ..data.jax_featurize import build_device_corpus
 
             logging.info("building HBM corpus cache (%d examples, "
                          "%s featurization)", len(trainset),
                          self.cfg.data.cache_featurize)
-            corpus = build_device_corpus(
-                trainset, mesh=self.mesh,
-                featurize=self.cfg.data.cache_featurize)
+            try:
+                corpus = build_device_corpus(
+                    trainset, mesh=self.mesh,
+                    featurize=self.cfg.data.cache_featurize,
+                    hbm_fraction=self.cfg.data.cache_hbm_fraction)
+            except HBMBudgetError as e:
+                logging.warning("%s", e)
+                logging.warning("HBM cache over budget - using the host "
+                                "packing path (per-batch upload)")
 
         for epoch in range(start_epoch, epochs):
             losses = []
