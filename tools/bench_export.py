@@ -94,7 +94,7 @@ def main(tiny: bool = False) -> None:
                                 f"{work}/trans_{name}",
                                 t_buckets=(t_bucket,), quantize=quant)
         bundle = ServingBundle.load(d)
-        fn = bundle._fns[t_bucket].call
+        fn = bundle._calls[t_bucket]
         args = (bundle.params, bundle.batch_stats,
                 np.zeros((1, t_bucket, 112), np.float32),
                 np.zeros((1, t_bucket * 8, 8), np.float32),
@@ -124,7 +124,7 @@ def main(tiny: bool = False) -> None:
     v.cfg = gen_cfg
     d = save_vocoder_bundle(v, f"{work}/voc", mel_buckets=(t_bucket,))
     voc = ServingBundle.load(d)
-    m = _measure(voc._fns[t_bucket].call,
+    m = _measure(voc._calls[t_bucket],
                  (voc.params, np.zeros((1, t_bucket, 80), np.float32)),
                  n=n_calls)
     audio_s = t_bucket * gen_cfg.hop_length / 22050.0
