@@ -56,6 +56,84 @@ def _synth_audio(rng: np.random.Generator, seconds: float,
     return sig.astype(np.float32)
 
 
+def _char_code(ch: str) -> int:
+    """Stable small integer per character (a-z + space + punctuation)."""
+    return ord(ch) % 64
+
+
+def _char_patterns(n_channels: int = 8) -> np.ndarray:
+    """Fixed (64, n_channels) per-character EMG amplitude patterns.
+
+    Seeded independently of the corpus rng so every corpus shares the same
+    character→muscle-activation code (a model trained on one learnable
+    corpus transfers to another, like a real articulation code)."""
+    prng = np.random.default_rng(1234)
+    pat = prng.uniform(0.2, 1.0, size=(64, n_channels))
+    # orthogonalish: each char gets 2 dominant channels
+    for c in range(64):
+        hot = prng.permutation(n_channels)[:2]
+        pat[c, hot] *= 3.0
+    return pat
+
+
+_CHAR_PATTERNS = _char_patterns()
+
+
+def _synth_emg_learnable(rng: np.random.Generator, seconds: float,
+                         text: str, fs: int = 1000) -> np.ndarray:
+    """8-channel EMG whose burst amplitudes encode the character sequence.
+
+    The utterance timeline is split evenly over the characters; during a
+    character's segment each channel's bandlimited-noise burst is scaled
+    by that character's fixed pattern (``_CHAR_PATTERNS``). The mapping
+    EMG→text is therefore deterministic (plus noise), so a model can
+    GENERALIZE to held-out sentences — unlike the default pure-noise EMG
+    where dev-set metrics are chance. Used by the head-to-head harness
+    (tools/headtohead.py)."""
+    n = int(seconds * fs)
+    t = np.arange(n) / fs
+    chars = list(text) if text else [" "]
+    seg = np.minimum((np.arange(n) * len(chars)) // max(n, 1),
+                     len(chars) - 1)
+    amp = np.stack([_CHAR_PATTERNS[_char_code(chars[s])] for s in
+                    np.arange(len(chars))])  # (n_chars, 8)
+    env = amp[seg]  # (n, 8)
+    out = np.zeros((n, 8))
+    noise = rng.normal(size=(n, 8))
+    hf = np.diff(noise, axis=0, prepend=np.zeros((1, 8)))
+    out = 60 * env * hf
+    out += 5 * np.sin(2 * np.pi * 60 * t)[:, None]
+    out += 8 * np.sin(2 * np.pi * 0.2 * t[:, None] + np.arange(8))
+    out += 2 * rng.normal(size=(n, 8))
+    return out
+
+
+def _synth_audio_learnable(rng: np.random.Generator, seconds: float,
+                           text: str, voiced: bool = True,
+                           sr: int = 22050) -> np.ndarray:
+    """Harmonic audio whose f0/harmonic mix encodes the character
+    sequence (same even segmentation as :func:`_synth_emg_learnable`),
+    so EMG→mel is a learnable mapping."""
+    n = int(seconds * sr)
+    if not voiced:
+        return (0.0005 * rng.normal(size=n)).astype(np.float32)
+    chars = list(text) if text else [" "]
+    seg = np.minimum((np.arange(n) * len(chars)) // max(n, 1),
+                     len(chars) - 1)
+    codes = np.array([_char_code(c) for c in chars])
+    f0 = 90.0 + 6.0 * (codes % 20)  # per-char fundamental
+    inst_f0 = f0[seg]
+    phase = 2 * np.pi * np.cumsum(inst_f0) / sr
+    sig = np.zeros(n)
+    for h in range(1, 6):
+        # per-char harmonic tilt
+        w = 1.0 / h + 0.3 * (((codes[seg] >> (h - 1)) & 1))
+        sig += w * np.sin(h * phase)
+    sig = 0.25 * sig / max(np.abs(sig).max(), 1e-6)
+    sig += 0.002 * rng.normal(size=n)
+    return sig.astype(np.float32)
+
+
 def _synth_emg(rng: np.random.Generator, seconds: float,
                fs: int = 1000) -> np.ndarray:
     """8-channel EMG-like signal: bandlimited noise bursts + mains hum +
@@ -116,8 +194,14 @@ def generate_corpus(root: str, n_voiced_sessions: int = 1,
                     seed: int = 0, audio_format: str = "wav",
                     with_textgrids: bool = True,
                     dev_fraction: float = 0.25,
-                    test_fraction: float = 0.125) -> DataConfig:
-    """Create a corpus under ``root``; returns a DataConfig pointing at it."""
+                    test_fraction: float = 0.125,
+                    learnable: bool = False) -> DataConfig:
+    """Create a corpus under ``root``; returns a DataConfig pointing at it.
+
+    ``learnable=True`` derives both EMG and audio deterministically from
+    the character sequence (see ``_synth_emg_learnable``), making dev-set
+    generalization possible — the default signals are text-independent
+    noise, where only held-in (memorization) metrics are meaningful."""
     rng = random.Random(seed)
     nrng = np.random.default_rng(seed)
 
@@ -131,9 +215,14 @@ def generate_corpus(root: str, n_voiced_sessions: int = 1,
     def write_utt(session_dir: str, session: str, i: int, text: str,
                   book: str, sentence_index: int, seconds: float,
                   voiced: bool) -> None:
-        emg = _synth_emg(nrng, seconds)
+        if learnable:
+            emg = _synth_emg_learnable(nrng, seconds, text)
+            audio = _synth_audio_learnable(nrng, seconds, text,
+                                           voiced=voiced)
+        else:
+            emg = _synth_emg(nrng, seconds)
+            audio = _synth_audio(nrng, seconds, voiced=voiced)
         np.save(os.path.join(session_dir, f"{i}_emg.npy"), emg)
-        audio = _synth_audio(nrng, seconds, voiced=voiced)
         if audio_format == "flac":
             flac_mod.write_flac(
                 os.path.join(session_dir, f"{i}_audio_clean.flac"),

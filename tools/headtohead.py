@@ -1,0 +1,536 @@
+"""Full-schedule head-to-head: TPU framework vs the genuine torch reference.
+
+VERDICT round-3 item 2: train BOTH stacks through the full (scaled) recipe
+on the same LEARNABLE synthetic corpus, then compare final dev-set metrics
+through identical judges. The corpus uses ``generate_corpus(learnable=True)``
+(data/synthetic.py): EMG burst amplitudes and audio harmonics deterministically
+encode the character sequence, so dev-set generalization is measurable —
+on the default pure-noise corpus both stacks sit at chance on dev and the
+comparison is vacuous.
+
+Sides:
+
+- **torch**: the genuine reference ``architecture.Model`` driven by the
+  replica loops from tests/test_training_parity*.py (loss/schedule
+  line-cited from ``transduction_model.py:98-227`` and
+  ``recognition_model.py:61-117``), dropout and shift augmentation ON,
+  batches from the same ``SizeAwareSampler`` semantics as the reference's
+  (``read_emg.py:115-140``).
+- **tpu**: our trainers' public ``fit`` recipe with the identical scaled
+  hyperparameters (each side its own rng stream — identical-init
+  step-parity is tools/parity_convergence*.py's job; THIS artifact is an
+  end-of-schedule outcome comparison).
+
+Judges (identical code applied to both sides' outputs):
+
+- recognition: dev WER via the native beam+LM decoder (beam=50, ARPA
+  bigram over the train texts, alpha=1.5/beta=1.85) + greedy WER.
+- transduction: dev voiced mel RMSE (framewise, normalized mel space)
+  + dev phoneme accuracy.
+
+Writes docs/HEADTOHEAD.json. Run:
+    python tools/headtohead.py [rec_epochs] [trans_epochs]
+"""
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+from silent_speech_tpu.utils.platform import force_cpu  # noqa: E402
+
+force_cpu(1)
+
+import numpy as np  # noqa: E402
+
+
+def _dev_examples(devset):
+    return [devset[i] for i in range(len(devset))]
+
+
+def _shift_augment_torch(torch, Xr, rnd):
+    """Reference raw-EMG shift augmentation (architecture.py:64-68),
+    applied OUTSIDE the model: torch 2 rejects the reference's in-place
+    overlapping copy, so the in-model path is disabled (randrange → 0)
+    and the identical left-shift-and-zero-pad happens here."""
+    r = rnd.randrange(8)
+    if r == 0:
+        return Xr
+    pad = torch.zeros((Xr.shape[0], r) + tuple(Xr.shape[2:]),
+                      dtype=Xr.dtype)
+    return torch.cat([Xr[:, r:], pad], dim=1)
+
+
+# --------------------------------------------------------------------------
+# shared judges
+# --------------------------------------------------------------------------
+
+def decode_wer(logit_list, references, charset, blank_id, lm, beam=True):
+    """Same decoder for both sides: native/py beam+LM or greedy."""
+    from silent_speech_tpu.eval.decode import (
+        beam_ctc_decode, greedy_ctc_decode)
+    from silent_speech_tpu.text import wer
+
+    preds = []
+    for lp in logit_list:
+        if beam:
+            ids = beam_ctc_decode(lp, charset, blank_id, beam_width=50,
+                                  lm=lm, alpha=1.5, beta=1.85)
+        else:
+            ids = greedy_ctc_decode(lp, blank_id)
+        preds.append("".join(charset[i] for i in ids))
+    return wer(references, preds), preds
+
+
+def mel_rmse(pred_fn, examples):
+    """Framewise RMSE in normalized mel space over voiced examples."""
+    vals = []
+    for dp in examples:
+        if dp["silent"]:
+            continue
+        pred = np.asarray(pred_fn(dp))
+        tgt = np.asarray(dp["audio_features"])
+        m = min(len(pred), len(tgt))
+        vals.append(float(np.sqrt(np.mean((pred[:m] - tgt[:m]) ** 2))))
+    return float(np.mean(vals))
+
+
+def dtw_dev_cost(pred_fn, examples):
+    """Reference dev-loss semantics on SILENT dev utterances
+    (``transduction_model.py:98-127`` eval path, mel term): predict on
+    the silent timeline, DTW-align to the paired voiced target mel,
+    mean Euclidean cost per target frame. Identical numpy judge for
+    both sides (the dev split is silent-only by the reference's
+    pairing rule, so framewise RMSE is undefined there)."""
+    from silent_speech_tpu.ops.dtw import align_from_distances_numpy
+
+    total, frames = 0.0, 0
+    for dp in examples:
+        tgt = np.asarray(dp["parallel_voiced_audio_features"]
+                         if dp["silent"] else dp["audio_features"],
+                         np.float64)
+        pred = np.asarray(pred_fn(dp), np.float64)
+        # (T_pred, T_tgt) Euclidean distances
+        costs = np.sqrt(
+            ((pred[:, None, :] - tgt[None, :, :]) ** 2).sum(-1))
+        align = align_from_distances_numpy(costs.T)
+        total += float(costs[align, np.arange(len(align))].sum())
+        frames += len(align)
+    return total / max(frames, 1)
+
+
+def voiced_dev_view(corpus):
+    """Voiced dev utterances: the pairing rule excludes voiced sessions
+    from dev when silent data exists (``read_emg.py:164-167``), so the
+    voiced renditions of the dev sentences are re-discovered through a
+    silent-less config view — framewise mel RMSE / phoneme accuracy are
+    well-defined there."""
+    import dataclasses
+
+    from silent_speech_tpu.data.dataset import EMGDataset
+
+    return EMGDataset(
+        dataclasses.replace(corpus, silent_data_directories=[]),
+        dev=True)
+
+
+def phoneme_acc(phone_fn, examples):
+    correct = total = 0
+    for dp in examples:
+        if dp["silent"]:
+            continue
+        pp = np.asarray(phone_fn(dp))  # (T, 48) logits
+        y = np.asarray(dp["phonemes"])
+        m = min(len(pp), len(y))
+        correct += int((pp[:m].argmax(-1) == y[:m]).sum())
+        total += m
+    return correct / max(total, 1)
+
+
+# --------------------------------------------------------------------------
+# torch side
+# --------------------------------------------------------------------------
+
+def torch_recognition(corpus, trainset, devset, *, epochs, target_lr,
+                      warmup, wd, max_batch_len, model_size, num_layers,
+                      dropout, seed=1):
+    """Reference CTC recipe (recognition_model.py:61-117) on the genuine
+    torch model, full augmentation, SizeAwareSampler batching."""
+    import torch
+    import torch.nn.functional as F
+    from torch import nn
+
+    REF = "/root/reference"
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from absl import flags
+    import architecture as ref_architecture
+
+    from test_training_parity import (
+        _patch_torch2_compat, _ref_batches, _combine_fixed_length_torch,
+        _decollate_torch)
+    from silent_speech_tpu.data.sampler import SizeAwareSampler
+
+    if not flags.FLAGS.is_parsed():
+        flags.FLAGS(["headtohead"])
+    flags.FLAGS.model_size = model_size
+    flags.FLAGS.num_layers = num_layers
+    flags.FLAGS.dropout = dropout
+
+    n_chars = 37
+    torch.manual_seed(seed)
+    model = ref_architecture.Model(112, n_chars + 1)
+    _patch_torch2_compat(model)
+    ref_architecture.random.randrange = lambda n: 0  # see _shift_augment_torch
+    import random as pyrandom
+    shift_rnd = pyrandom.Random(seed + 100)
+    optim = torch.optim.AdamW(model.parameters(), lr=target_lr,
+                              weight_decay=wd)
+    sampler = SizeAwareSampler(trainset, max_batch_len, seed=seed)
+    seq_len = 200  # reference default feature frames per collated row
+
+    batch_idx = 0
+    t0 = time.time()
+    for epoch in range(epochs):
+        model.train()
+        for ids in sampler:
+            exs = [trainset[i] for i in ids]
+            b = _ref_batches(torch, [exs])[0]
+            b["text_int"] = [
+                torch.tensor(np.asarray(e["text_int"], np.int64))
+                for e in exs]
+            b["text_int_lengths"] = [len(e["text_int"]) for e in exs]
+            it = batch_idx + 1
+            if it <= warmup:  # recognition_model.py:80-85
+                for g in optim.param_groups:
+                    g["lr"] = it * target_lr / warmup
+            X = _combine_fixed_length_torch(torch, b["emg"], seq_len)
+            Xr = _combine_fixed_length_torch(torch, b["raw_emg"],
+                                             seq_len * 8)
+            Xr = _shift_augment_torch(torch, Xr, shift_rnd)
+            sess = _combine_fixed_length_torch(torch, b["session_ids"],
+                                               seq_len)
+            pred = model(X, Xr, sess)
+            pred = F.log_softmax(pred, 2)
+            pred = nn.utils.rnn.pad_sequence(
+                _decollate_torch(pred, b["lengths"]), batch_first=False)
+            y = nn.utils.rnn.pad_sequence(b["text_int"], batch_first=True)
+            loss = F.ctc_loss(pred, y, b["lengths"],
+                              b["text_int_lengths"], blank=n_chars)
+            loss.backward()
+            if it % 2 == 0:  # accum x2, recognition_model.py:105
+                optim.step()
+                optim.zero_grad()
+            batch_idx += 1
+        if (epoch + 1) % 20 == 0:
+            print(f"[torch rec] epoch {epoch + 1}/{epochs} loss "
+                  f"{float(loss):.3f} ({time.time() - t0:.0f}s)",
+                  flush=True)
+
+    def dev_logits(examples):
+        model.eval()
+        out = []
+        with torch.no_grad():
+            for dp in examples:
+                X = torch.tensor(np.asarray(dp["emg"],
+                                            np.float32))[None]
+                Xr = torch.tensor(np.asarray(dp["raw_emg"],
+                                             np.float32))[None]
+                sess = torch.tensor(np.asarray(dp["session_ids"],
+                                               np.int64))[None]
+                lp = F.log_softmax(model(X, Xr, sess), -1)[0]
+                out.append(lp.numpy())
+        return out
+
+    return dev_logits
+
+
+def torch_transduction(corpus, trainset, devset, *, epochs, target_lr,
+                       warmup, wd, max_batch_len, model_size, num_layers,
+                       dropout, seed=1):
+    """Reference DTW recipe (transduction_model.py:159-227) on the genuine
+    torch model, full augmentation."""
+    import torch
+    import torch.nn.functional as F
+
+    REF = "/root/reference"
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from absl import flags
+    import architecture as ref_architecture
+
+    from test_training_parity import (
+        _patch_torch2_compat, _ref_batches, _combine_fixed_length_torch,
+        _ref_dtw_loss)
+    from silent_speech_tpu.data.sampler import SizeAwareSampler
+
+    if not flags.FLAGS.is_parsed():
+        flags.FLAGS(["headtohead"])
+    flags.FLAGS.model_size = model_size
+    flags.FLAGS.num_layers = num_layers
+    flags.FLAGS.dropout = dropout
+
+    torch.manual_seed(seed)
+    model = ref_architecture.Model(112, 80, 48)
+    _patch_torch2_compat(model)
+    ref_architecture.random.randrange = lambda n: 0  # see _shift_augment_torch
+    import random as pyrandom
+    shift_rnd = pyrandom.Random(seed + 200)
+    optim = torch.optim.AdamW(model.parameters(), weight_decay=wd)
+    sampler = SizeAwareSampler(trainset, max_batch_len, seed=seed)
+    seq_len = 200
+
+    batch_idx = 0
+    t0 = time.time()
+    for epoch in range(epochs):
+        model.train()
+        for ids in sampler:
+            exs = [trainset[i] for i in ids]
+            b = _ref_batches(torch, [exs])[0]
+            optim.zero_grad()
+            lr = (min(batch_idx + 1, warmup) / warmup) * target_lr
+            for g in optim.param_groups:
+                g["lr"] = lr
+            X = _combine_fixed_length_torch(torch, b["emg"], seq_len)
+            Xr = _combine_fixed_length_torch(torch, b["raw_emg"],
+                                             seq_len * 8)
+            Xr = _shift_augment_torch(torch, Xr, shift_rnd)
+            sess = _combine_fixed_length_torch(torch, b["session_ids"],
+                                               seq_len)
+            pred, phone = model(X, Xr, sess)
+            loss = _ref_dtw_loss(torch, F, pred, phone, b)
+            loss.backward()
+            optim.step()
+            batch_idx += 1
+        if (epoch + 1) % 20 == 0:
+            print(f"[torch trans] epoch {epoch + 1}/{epochs} loss "
+                  f"{float(loss):.3f} ({time.time() - t0:.0f}s)",
+                  flush=True)
+
+    def predict(dp):
+        model.eval()
+        with torch.no_grad():
+            X = torch.tensor(np.asarray(dp["emg"], np.float32))[None]
+            Xr = torch.tensor(np.asarray(dp["raw_emg"], np.float32))[None]
+            sess = torch.tensor(np.asarray(dp["session_ids"],
+                                           np.int64))[None]
+            pred, _ = model(X, Xr, sess)
+        return pred[0].numpy()
+
+    def phones(dp):
+        model.eval()
+        with torch.no_grad():
+            X = torch.tensor(np.asarray(dp["emg"], np.float32))[None]
+            Xr = torch.tensor(np.asarray(dp["raw_emg"], np.float32))[None]
+            sess = torch.tensor(np.asarray(dp["session_ids"],
+                                           np.int64))[None]
+            _, phone = model(X, Xr, sess)
+        return phone[0].numpy()
+
+    return predict, phones
+
+
+# --------------------------------------------------------------------------
+# our side
+# --------------------------------------------------------------------------
+
+def _scaled_config(corpus, *, model_size, num_layers, dropout,
+                   max_batch_len, outdir):
+    from silent_speech_tpu.config import Config
+
+    cfg = Config()
+    cfg.data = corpus
+    cfg.model.model_size = model_size
+    cfg.model.num_layers = num_layers
+    cfg.model.dim_feedforward = 3072  # reference Model hardcodes this
+    cfg.model.dropout = dropout
+    cfg.model.shift_augment = True
+    cfg.model.compute_dtype = "float32"  # CPU host; TPU recipe is bf16
+    cfg.data.t_cap = 512
+    cfg.data.utt_cap = 16
+    return cfg
+
+
+def ours_recognition(corpus, trainset, devset, *, epochs, target_lr,
+                     warmup, wd, max_batch_len, model_size, num_layers,
+                     dropout, workdir):
+    import jax
+
+    from silent_speech_tpu.parallel.mesh import make_mesh
+    from silent_speech_tpu.train.recognition import RecognitionTrainer
+
+    cfg = _scaled_config(corpus, model_size=model_size,
+                         num_layers=num_layers, dropout=dropout,
+                         max_batch_len=max_batch_len, outdir=workdir)
+    cfg.recognition.learning_rate = target_lr
+    cfg.recognition.learning_rate_warmup = warmup
+    cfg.recognition.lr_milestones = ()
+    cfg.recognition.l2 = wd
+    cfg.recognition.max_batch_len = max_batch_len
+    cfg.recognition.output_directory = os.path.join(workdir, "rec")
+
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    trainer = RecognitionTrainer(cfg, mesh=mesh)
+    trainer.fit(trainset, devset, epochs=epochs, seed=0)
+
+    def dev_logits(examples):
+        return trainer.batch_logits(examples)
+
+    return dev_logits
+
+
+def ours_transduction(corpus, trainset, devset, *, epochs, target_lr,
+                      warmup, wd, max_batch_len, model_size, num_layers,
+                      dropout, workdir):
+    import jax
+
+    from silent_speech_tpu.eval.synthesis import EnsemblePredictor
+    from silent_speech_tpu.parallel.mesh import make_mesh
+    from silent_speech_tpu.train.transduction import TransductionTrainer
+
+    cfg = _scaled_config(corpus, model_size=model_size,
+                         num_layers=num_layers, dropout=dropout,
+                         max_batch_len=max_batch_len, outdir=workdir)
+    cfg.transduction.learning_rate = target_lr
+    cfg.transduction.learning_rate_warmup = warmup
+    cfg.transduction.l2 = wd
+    cfg.transduction.max_batch_len = max_batch_len
+    cfg.transduction.learning_rate_patience = 10_000
+    cfg.transduction.output_directory = os.path.join(workdir, "trans")
+
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    trainer = TransductionTrainer(cfg, mesh=mesh)
+    trainer.fit(trainset, devset, epochs=epochs, seed=0)
+    ens = EnsemblePredictor(base=trainer,
+                            states=[(trainer.state.params,
+                                     trainer.state.batch_stats)])
+
+    fwd = jax.jit(lambda emg, raw, sess, seg: trainer.model.apply(
+        {"params": trainer.state.params,
+         "batch_stats": trainer.state.batch_stats},
+        emg, raw, sess, segment_ids=seg, train=False)[1])
+
+    def phones(dp):
+        emg, raw, sess, seg, t = trainer.pad_single(dp)
+        return np.asarray(fwd(emg, raw, sess, seg))[0, :t]
+
+    return ens.predict, phones
+
+
+# --------------------------------------------------------------------------
+
+def main(rec_epochs=150, trans_epochs=80):
+    from train_accuracy import build_arpa  # tools/ sibling
+
+    sys.path.insert(0, "tools")
+    from silent_speech_tpu.data.dataset import EMGDataset
+    from silent_speech_tpu.data.synthetic import generate_corpus
+    from silent_speech_tpu.eval.decode import ArpaLM
+    from silent_speech_tpu.text import TextTransform
+
+    work = tempfile.mkdtemp(prefix="headtohead_")
+    corpus = generate_corpus(os.path.join(work, "corpus"),
+                             n_voiced_sessions=3, n_silent_sessions=1,
+                             utterances_per_session=10, seed=7,
+                             learnable=True)
+    trainset = EMGDataset(corpus, dev=False, test=False)
+    devset = EMGDataset(corpus, dev=True)
+    dev_examples = _dev_examples(devset)
+    print(f"corpus: {len(trainset)} train / {len(devset)} dev "
+          f"(learnable synthetic, seed=7)", flush=True)
+
+    hp = dict(target_lr=2e-3, warmup=16, wd=1e-7, max_batch_len=4000,
+              model_size=128, num_layers=2, dropout=0.2)
+    tt = TextTransform()
+    references = [tt.clean_text(e["text"]) for e in dev_examples]
+    texts = [trainset.example_meta(i)["text"] for i in range(len(trainset))]
+    lm = ArpaLM(build_arpa(texts, os.path.join(work, "lm.arpa")))
+
+    out = {"corpus": "learnable synthetic seed=7, 3 voiced + 1 silent "
+                     "sessions x 10 utterances",
+           "hyperparameters": {**hp, "rec_epochs": rec_epochs,
+                               "trans_epochs": trans_epochs},
+           "judges": "identical: native beam+LM (beam=50, ARPA bigram, "
+                     "a=1.5 b=1.85) + greedy; framewise voiced mel RMSE; "
+                     "phoneme accuracy"}
+
+    # ---- recognition ----
+    t0 = time.time()
+    ours_logits = ours_recognition(
+        corpus, trainset, devset, epochs=rec_epochs,
+        workdir=work, **hp)(dev_examples)
+    t_ours = time.time() - t0
+    t0 = time.time()
+    torch_logits = torch_recognition(
+        corpus, trainset, devset, epochs=rec_epochs, **hp)(dev_examples)
+    t_torch = time.time() - t0
+
+    blank = len(tt.chars)
+    w_ours, p_ours = decode_wer(ours_logits, references, tt.chars, blank,
+                                lm, beam=True)
+    w_torch, p_torch = decode_wer(torch_logits, references, tt.chars,
+                                  blank, lm, beam=True)
+    wg_ours, _ = decode_wer(ours_logits, references, tt.chars, blank,
+                            None, beam=False)
+    wg_torch, _ = decode_wer(torch_logits, references, tt.chars, blank,
+                             None, beam=False)
+    out["recognition"] = {
+        "dev_wer_beam_lm": {"tpu": round(w_ours, 4),
+                            "torch": round(w_torch, 4)},
+        "dev_wer_greedy": {"tpu": round(wg_ours, 4),
+                           "torch": round(wg_torch, 4)},
+        "train_seconds": {"tpu": round(t_ours, 1),
+                          "torch": round(t_torch, 1)},
+        "dev_predictions": {"tpu": p_ours, "torch": p_torch,
+                            "references": references},
+    }
+    print(json.dumps(out["recognition"], indent=1), flush=True)
+
+    # ---- transduction ----
+    # dev (silent) judged by DTW-aligned mel cost — the reference's dev
+    # semantics; the voiced renditions of the dev sentences (via the
+    # silent-less view) judged by framewise RMSE + phoneme accuracy
+    vdev = voiced_dev_view(corpus)
+    vdev_examples = [vdev[i] for i in range(len(vdev))]
+    t0 = time.time()
+    ours_pred, ours_ph = ours_transduction(
+        corpus, trainset, devset, epochs=trans_epochs,
+        workdir=work, **hp)
+    dtw_ours = dtw_dev_cost(ours_pred, dev_examples)
+    rmse_ours = mel_rmse(ours_pred, vdev_examples)
+    pa_ours = phoneme_acc(ours_ph, vdev_examples)
+    t_ours = time.time() - t0
+    t0 = time.time()
+    torch_pred, torch_ph = torch_transduction(
+        corpus, trainset, devset, epochs=trans_epochs, **hp)
+    dtw_torch = dtw_dev_cost(torch_pred, dev_examples)
+    rmse_torch = mel_rmse(torch_pred, vdev_examples)
+    pa_torch = phoneme_acc(torch_ph, vdev_examples)
+    t_torch = time.time() - t0
+    out["transduction"] = {
+        "dev_silent_dtw_mel_cost": {"tpu": round(dtw_ours, 4),
+                                    "torch": round(dtw_torch, 4)},
+        "dev_voiced_mel_rmse": {"tpu": round(rmse_ours, 4),
+                                "torch": round(rmse_torch, 4)},
+        "dev_voiced_phoneme_acc": {"tpu": round(pa_ours, 4),
+                                   "torch": round(pa_torch, 4)},
+        "n_dev": {"silent": len(dev_examples),
+                  "voiced": len(vdev_examples)},
+        "train_seconds": {"tpu": round(t_ours, 1),
+                          "torch": round(t_torch, 1)},
+    }
+    print(json.dumps(out["transduction"], indent=1), flush=True)
+
+    os.makedirs("docs", exist_ok=True)
+    with open("docs/HEADTOHEAD.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote docs/HEADTOHEAD.json", flush=True)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, "tools")
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 150,
+         int(sys.argv[2]) if len(sys.argv) > 2 else 80)
