@@ -116,11 +116,19 @@ class VocoderTrainer:
                  learning_rate: float = 2e-4, lr_decay: float = 0.999,
                  mel_weight: float = 45.0, fm_weight: float = 2.0,
                  seed: int = 0,
-                 disc_periods: Tuple[int, ...] = (2, 3, 5, 7, 11)):
+                 disc_periods: Tuple[int, ...] = (2, 3, 5, 7, 11),
+                 mesh=None):
+        """``mesh``: a ``jax.sharding.Mesh`` with a 'data' axis — the GAN
+        step then runs data-parallel (params/optimizer replicated, the
+        (B, …) mel/audio batch sharded over 'data'; XLA inserts the
+        gradient all-reduces over ICI). The generator is ~14 M params, so
+        DP is the right parallelism — there is nothing to shard
+        model-wise. Batch size must divide the 'data' axis size."""
         self.gen_cfg = gen_cfg
         self.mel_cfg = mel_cfg
         self.lr = learning_rate
         self.lr_decay = lr_decay
+        self.mesh = mesh
         self.disc = HiFiGANDiscriminators(periods=disc_periods)
 
         key = jax.random.PRNGKey(seed)
@@ -190,6 +198,14 @@ class VocoderTrainer:
             metrics = {"d_loss": d_loss, "g_loss": g_loss, **aux}
             return gen_params, disc_params, gen_opt, disc_opt, metrics
 
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self.mesh, P())
+            data = NamedSharding(self.mesh, P("data"))
+            return jax.jit(step, donate_argnums=(0, 1, 2, 3),
+                           in_shardings=(repl, repl, repl, repl, data,
+                                         data, repl))
         return jax.jit(step, donate_argnums=(0, 1, 2, 3))
 
     def train(self, source: VocoderDataSource, steps: int,

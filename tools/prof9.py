@@ -167,7 +167,8 @@ def _patch_cheap_conv():
 
     def cheap(self, x, train=False):
         h = nn.Conv(self.channels, kernel_size=(1,), strides=(self.stride,),
-                    padding=[(0, 0)], dtype=self.dtype, name="conv1")(x)
+                    padding=[(0, 0)], dtype=self.dtype,
+                    name="cheap_conv")(x)
         return nn.relu(h)
 
     orig = enc.ResBlock.__call__
