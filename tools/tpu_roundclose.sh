@@ -8,7 +8,7 @@ mkdir -p docs/tpu_sweep
 
 probe=$(timeout 120 python -c "import jax; print(jax.devices())" 2>&1 | tail -1)
 case "$probe" in
-  *TpuDevice*) echo "tunnel up: $probe" ;;
+  *TpuDevice*|*TPU*) echo "tunnel up: $probe" ;;
   *) echo "tunnel NOT reachable: $probe"; exit 1 ;;
 esac
 
