@@ -175,6 +175,21 @@ def _patch_cheap_conv():
     enc.ResBlock.__call__ = nn.compact(cheap)
     return enc, orig
 
+def _patch_f32_loss():
+    """Force the loss interior's matmul dtype to f32 (A/B for the round-3
+    bf16-interior change, which inherits the trainer's compute dtype)."""
+    import silent_speech_tpu.train.transduction as tmod
+
+    orig = tmod.transduction_loss
+
+    def f32(*a, **kw):
+        kw["matmul_dtype"] = jnp.float32
+        return orig(*a, **kw)
+
+    tmod.transduction_loss = f32
+    return tmod, orig
+
+
 def _patch_identity_dp():
     import silent_speech_tpu.train.losses as L
     orig = L.dtw_align_batch
@@ -217,6 +232,12 @@ if __name__ == "__main__":
                 run_variant(name)
             finally:
                 enc.ResBlock.__call__ = orig
+        elif name == "f32loss":
+            mod, orig = _patch_f32_loss()
+            try:
+                run_variant(name)
+            finally:
+                mod.transduction_loss = orig
         elif name == "noattndrop":
             mod, orig = _patch_no_attn_dropout()
             try:
