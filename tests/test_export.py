@@ -73,6 +73,20 @@ def test_transduction_bundle_matches_live(corpus, devset, tmp_path):
         bundle.predict(np.zeros((t_max + 1, 112), np.float32),
                        np.zeros(((t_max + 1) * 8, 8), np.float32))
 
+    # regression: Exported.call re-traces (and re-compiles the
+    # deserialized StableHLO) on EVERY invocation — 7.2 s/call vs 41 ms
+    # on the TPU latency bench. ServingBundle must serve repeat calls
+    # from the per-bucket jit executable cache.
+    again = bundle.predict(np.asarray(ex["emg"]),
+                           np.asarray(ex["raw_emg"]),
+                           np.asarray(ex["session_ids"]))
+    np.testing.assert_array_equal(got, again)
+    bucket = next(t for t in bundle.manifest["t_buckets"]
+                  if t >= ex["emg"].shape[0])
+    assert bundle._calls[bucket]._cache_size() == 1, (
+        "repeat predict() on one bucket must hit the jit cache, "
+        "not re-trace the deserialized export")
+
 
 def test_int8_bundle_close_to_live(corpus, devset, tmp_path):
     """Weight-only int8 serving: big kernels stored as per-channel int8,
