@@ -279,7 +279,12 @@ class RecognitionTrainer:
     # ---------------- train / eval ------------------------------------
     def fit(self, trainset: EMGDataset, devset: EMGDataset,
             epochs: Optional[int] = None, seed: int = 0,
-            resume: bool = False) -> TrainState:
+            resume: bool = False, eval_every: int = 1,
+            checkpoint_every: int = 1) -> TrainState:
+        """``eval_every``/``checkpoint_every``: run the dev beam-WER pass /
+        write checkpoints every N epochs (default 1 = the reference
+        cadence, recognition_model.py:106-117; the final epoch always
+        evaluates and saves)."""
         cfg = self.cfg.recognition
         epochs = epochs if epochs is not None else cfg.epochs
         os.makedirs(cfg.output_directory, exist_ok=True)
@@ -348,13 +353,21 @@ class RecognitionTrainer:
                 logging.error("non-finite training loss at epoch %d — "
                               "stopping", epoch + 1)
                 raise FloatingPointError("non-finite training loss")
-            val_wer = self.evaluate_wer(devset)
+            last = epoch + 1 == epochs
+            if (epoch + 1) % max(eval_every, 1) == 0 or last:
+                val_wer = self.evaluate_wer(devset)
+                logging.info(
+                    f"finished epoch {epoch + 1} - training loss: "
+                    f"{train_loss:.4f} validation WER: "
+                    f"{val_wer * 100:.2f}")
+            else:
+                logging.info(f"finished epoch {epoch + 1} - training "
+                             f"loss: {train_loss:.4f}")
             multistep.step()
-            logging.info(
-                f"finished epoch {epoch + 1} - training loss: "
-                f"{train_loss:.4f} validation WER: {val_wer * 100:.2f}")
             logging.info("epoch %d took %.1fs", epoch + 1,
                          time.time() - t0)
+            if not ((epoch + 1) % max(checkpoint_every, 1) == 0 or last):
+                continue
             save_checkpoint(
                 cfg.output_directory, self.state,
                 extra={"epoch": epoch + 1, "global_step": global_step,

@@ -434,7 +434,14 @@ class TransductionTrainer:
     def fit(self, trainset: EMGDataset, devset: EMGDataset,
             epochs: Optional[int] = None, vocoder=None,
             save_sound_outputs: bool = False, seed: int = 0,
-            resume: bool = False) -> TrainState:
+            resume: bool = False, eval_every: int = 1,
+            checkpoint_every: int = 1) -> TrainState:
+        """``eval_every``/``checkpoint_every``: run validation (and the
+        plateau scheduler) / write checkpoints every N epochs. The
+        default 1 is the reference cadence (transduction_model.py:213-226
+        evaluates and saves each epoch); >1 trades per-epoch visibility
+        for wall-clock when the devset pass dominates (small corpora,
+        host-CPU runs). The final epoch always evaluates and saves."""
         cfg = self.cfg.transduction
         epochs = epochs if epochs is not None else cfg.epochs
 
@@ -584,16 +591,23 @@ class TransductionTrainer:
                               "epoch is intact)", epoch + 1)
                 raise FloatingPointError("non-finite training loss")
 
-            val_loss, phoneme_acc, _ = self.evaluate(devset)
-            plateau.step(val_loss)
-            logging.info(
-                f"finished epoch {epoch + 1} - validation loss: "
-                f"{val_loss:.4f} training loss: {train_loss:.4f} "
-                f"phoneme accuracy: {phoneme_acc * 100:.2f}")
+            last = epoch + 1 == epochs
+            if (epoch + 1) % max(eval_every, 1) == 0 or last:
+                val_loss, phoneme_acc, _ = self.evaluate(devset)
+                plateau.step(val_loss)
+                logging.info(
+                    f"finished epoch {epoch + 1} - validation loss: "
+                    f"{val_loss:.4f} training loss: {train_loss:.4f} "
+                    f"phoneme accuracy: {phoneme_acc * 100:.2f}")
+            else:
+                logging.info(f"finished epoch {epoch + 1} - training "
+                             f"loss: {train_loss:.4f}")
             logging.info("epoch %d: %d steps in %.1fs (%.2f steps/s)",
                          epoch + 1, n_steps, dt,
                          n_steps / dt if dt > 0 else 0.0)
 
+            if not ((epoch + 1) % max(checkpoint_every, 1) == 0 or last):
+                continue
             save_checkpoint(
                 cfg.output_directory, self.state,
                 extra={"epoch": epoch + 1, "global_step": global_step,

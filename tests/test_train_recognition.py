@@ -84,6 +84,41 @@ def test_fit_epoch_decode_and_wer(corpus, tmp_path):
     assert 0.0 <= w  # untrained-ish model: any finite WER
 
 
+def test_fit_eval_checkpoint_cadence(corpus, tmp_path, monkeypatch):
+    """eval_every/checkpoint_every skip the off-epochs but always run on
+    the final epoch (the reference cadence is every epoch = default 1)."""
+    trainset = EMGDataset(corpus, dev=False, test=False)
+    devset = EMGDataset(corpus, dev=True)
+    out = str(tmp_path / "cadence_out")
+    cfg = _cfg(corpus, out)
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    trainer = RecognitionTrainer(cfg, mesh=mesh)
+
+    eval_epochs = []
+    real_eval = RecognitionTrainer.evaluate_wer
+
+    def counting_eval(self, ds, **kw):
+        eval_epochs.append(True)
+        return real_eval(self, ds, **kw)
+
+    monkeypatch.setattr(RecognitionTrainer, "evaluate_wer", counting_eval)
+    saves = []
+    import silent_speech_tpu.train.recognition as rec_mod
+
+    real_save = rec_mod.save_checkpoint
+
+    def counting_save(*a, **kw):
+        saves.append(kw.get("extra", {}).get("epoch"))
+        return real_save(*a, **kw)
+
+    monkeypatch.setattr(rec_mod, "save_checkpoint", counting_save)
+    trainer.fit(trainset, devset, epochs=3, seed=0, eval_every=2,
+                checkpoint_every=2)
+    # epochs 2 and 3 (final) evaluate; epoch 1 does not
+    assert len(eval_epochs) == 2
+    assert saves == [2, 3]
+
+
 def test_batched_logits_match_single(corpus, tmp_path):
     """Padded+segment-masked batched forward == per-utterance forward."""
     trainset = EMGDataset(corpus, dev=False, test=False)

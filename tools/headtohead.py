@@ -29,8 +29,16 @@ Judges (identical code applied to both sides' outputs):
   + dev phoneme accuracy.
 
 Writes docs/HEADTOHEAD.json. Run:
-    python tools/headtohead.py [rec_epochs] [trans_epochs]
+    python tools/headtohead.py [--rec_epochs N] [--trans_epochs N]
+        [--utts N] [--ours_platform {cpu,default}] [--eval_every N]
+
+``--ours_platform default`` leaves JAX on its native backend (the TPU
+chip when the tunnel is up) — the honest configuration for OUR side;
+the torch reference side always runs on the host CPU, exactly as the
+reference repo does without a GPU. Accuracy judges are
+hardware-independent; only wall-clock differs.
 """
+import argparse
 import json
 import os
 import sys
@@ -39,10 +47,6 @@ import time
 
 sys.path.insert(0, ".")
 sys.path.insert(0, "tests")
-
-from silent_speech_tpu.utils.platform import force_cpu  # noqa: E402
-
-force_cpu(1)
 
 import numpy as np  # noqa: E402
 
@@ -356,7 +360,7 @@ def _scaled_config(corpus, *, model_size, num_layers, dropout,
 
 def ours_recognition(corpus, trainset, devset, *, epochs, target_lr,
                      warmup, wd, max_batch_len, model_size, num_layers,
-                     dropout, workdir):
+                     dropout, workdir, eval_every=1):
     import jax
 
     from silent_speech_tpu.parallel.mesh import make_mesh
@@ -374,7 +378,8 @@ def ours_recognition(corpus, trainset, devset, *, epochs, target_lr,
 
     mesh = make_mesh(1, 1, devices=jax.devices()[:1])
     trainer = RecognitionTrainer(cfg, mesh=mesh)
-    trainer.fit(trainset, devset, epochs=epochs, seed=0)
+    trainer.fit(trainset, devset, epochs=epochs, seed=0,
+                eval_every=eval_every, checkpoint_every=eval_every)
 
     def dev_logits(examples):
         return trainer.batch_logits(examples)
@@ -384,7 +389,7 @@ def ours_recognition(corpus, trainset, devset, *, epochs, target_lr,
 
 def ours_transduction(corpus, trainset, devset, *, epochs, target_lr,
                       warmup, wd, max_batch_len, model_size, num_layers,
-                      dropout, workdir):
+                      dropout, workdir, eval_every=1):
     import jax
 
     from silent_speech_tpu.eval.synthesis import EnsemblePredictor
@@ -403,7 +408,8 @@ def ours_transduction(corpus, trainset, devset, *, epochs, target_lr,
 
     mesh = make_mesh(1, 1, devices=jax.devices()[:1])
     trainer = TransductionTrainer(cfg, mesh=mesh)
-    trainer.fit(trainset, devset, epochs=epochs, seed=0)
+    trainer.fit(trainset, devset, epochs=epochs, seed=0,
+                eval_every=eval_every, checkpoint_every=eval_every)
     ens = EnsemblePredictor(base=trainer,
                             states=[(trainer.state.params,
                                      trainer.state.batch_stats)])
@@ -422,7 +428,7 @@ def ours_transduction(corpus, trainset, devset, *, epochs, target_lr,
 
 # --------------------------------------------------------------------------
 
-def main(rec_epochs=150, trans_epochs=80):
+def main(rec_epochs=150, trans_epochs=80, utts=10, eval_every=1):
     from train_accuracy import build_arpa  # tools/ sibling
 
     sys.path.insert(0, "tools")
@@ -434,7 +440,7 @@ def main(rec_epochs=150, trans_epochs=80):
     work = tempfile.mkdtemp(prefix="headtohead_")
     corpus = generate_corpus(os.path.join(work, "corpus"),
                              n_voiced_sessions=3, n_silent_sessions=1,
-                             utterances_per_session=10, seed=7,
+                             utterances_per_session=utts, seed=7,
                              learnable=True)
     trainset = EMGDataset(corpus, dev=False, test=False)
     devset = EMGDataset(corpus, dev=True)
@@ -449,10 +455,14 @@ def main(rec_epochs=150, trans_epochs=80):
     texts = [trainset.example_meta(i)["text"] for i in range(len(trainset))]
     lm = ArpaLM(build_arpa(texts, os.path.join(work, "lm.arpa")))
 
+    import jax
+
     out = {"corpus": "learnable synthetic seed=7, 3 voiced + 1 silent "
-                     "sessions x 10 utterances",
+                     f"sessions x {utts} utterances",
+           "ours_backend": jax.devices()[0].platform,
            "hyperparameters": {**hp, "rec_epochs": rec_epochs,
-                               "trans_epochs": trans_epochs},
+                               "trans_epochs": trans_epochs,
+                               "eval_every": eval_every},
            "judges": "identical: native beam+LM (beam=50, ARPA bigram, "
                      "a=1.5 b=1.85) + greedy; framewise voiced mel RMSE; "
                      "phoneme accuracy"}
@@ -461,7 +471,7 @@ def main(rec_epochs=150, trans_epochs=80):
     t0 = time.time()
     ours_logits = ours_recognition(
         corpus, trainset, devset, epochs=rec_epochs,
-        workdir=work, **hp)(dev_examples)
+        workdir=work, eval_every=eval_every, **hp)(dev_examples)
     t_ours = time.time() - t0
     t0 = time.time()
     torch_logits = torch_recognition(
@@ -498,7 +508,7 @@ def main(rec_epochs=150, trans_epochs=80):
     t0 = time.time()
     ours_pred, ours_ph = ours_transduction(
         corpus, trainset, devset, epochs=trans_epochs,
-        workdir=work, **hp)
+        workdir=work, eval_every=eval_every, **hp)
     dtw_ours = dtw_dev_cost(ours_pred, dev_examples)
     rmse_ours = mel_rmse(ours_pred, vdev_examples)
     pa_ours = phoneme_acc(ours_ph, vdev_examples)
@@ -531,6 +541,22 @@ def main(rec_epochs=150, trans_epochs=80):
 
 
 if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rec_epochs", type=int, default=150)
+    ap.add_argument("--trans_epochs", type=int, default=80)
+    ap.add_argument("--utts", type=int, default=10,
+                    help="utterances per session (4 sessions total)")
+    ap.add_argument("--eval_every", type=int, default=1,
+                    help="our trainers' val/checkpoint cadence in epochs")
+    ap.add_argument("--ours_platform", choices=("cpu", "default"),
+                    default="cpu",
+                    help="'default' leaves JAX on its native backend "
+                         "(the TPU when available) for OUR side")
+    a = ap.parse_args()
+    if a.ours_platform == "cpu":
+        from silent_speech_tpu.utils.platform import force_cpu
+
+        force_cpu(1)
     sys.path.insert(0, "tools")
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 150,
-         int(sys.argv[2]) if len(sys.argv) > 2 else 80)
+    main(a.rec_epochs, a.trans_epochs, utts=a.utts,
+         eval_every=a.eval_every)
