@@ -98,13 +98,12 @@ def _synth_emg_learnable(rng: np.random.Generator, seconds: float,
     amp = np.stack([_CHAR_PATTERNS[_char_code(chars[s])] for s in
                     np.arange(len(chars))])  # (n_chars, 8)
     env = amp[seg]  # (n, 8)
-    out = np.zeros((n, 8))
     noise = rng.normal(size=(n, 8))
     hf = np.diff(noise, axis=0, prepend=np.zeros((1, 8)))
     out = 60 * env * hf
     out += 5 * np.sin(2 * np.pi * 60 * t)[:, None]
     out += 8 * np.sin(2 * np.pi * 0.2 * t[:, None] + np.arange(8))
-    out += 2 * rng.normal(size=(n, 8))
+    out += 1 * rng.normal(size=(n, 8))
     return out
 
 
@@ -215,6 +214,12 @@ def generate_corpus(root: str, n_voiced_sessions: int = 1,
     def write_utt(session_dir: str, session: str, i: int, text: str,
                   book: str, sentence_index: int, seconds: float,
                   voiced: bool) -> None:
+        if learnable:
+            # pace the utterance by its text so every character spans
+            # enough feature frames (~10 chars/s → ~8.6 frames/char at
+            # the 86.13 fps feature rate) — CTC on a 0.8 s 30-char
+            # sentence is alignment-starved regardless of the model
+            seconds = max(seconds, len(text) / 10.0)
         if learnable:
             emg = _synth_emg_learnable(nrng, seconds, text)
             audio = _synth_audio_learnable(nrng, seconds, text,

@@ -123,7 +123,8 @@ class VocoderTrainer:
         (B, …) mel/audio batch sharded over 'data'; XLA inserts the
         gradient all-reduces over ICI). The generator is ~14 M params, so
         DP is the right parallelism — there is nothing to shard
-        model-wise. Batch size must divide the 'data' axis size."""
+        model-wise. The batch size must be a multiple of the 'data'
+        axis size (each device takes batch/data_axis examples)."""
         self.gen_cfg = gen_cfg
         self.mel_cfg = mel_cfg
         self.lr = learning_rate

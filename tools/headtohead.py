@@ -76,7 +76,7 @@ def decode_wer(logit_list, references, charset, blank_id, lm, beam=True):
     """Same decoder for both sides: native/py beam+LM or greedy."""
     from silent_speech_tpu.eval.decode import (
         beam_ctc_decode, greedy_ctc_decode)
-    from silent_speech_tpu.text import wer
+    from silent_speech_tpu.text import cer, wer  # noqa: F401
 
     preds = []
     for lp in logit_list:
@@ -127,18 +127,31 @@ def dtw_dev_cost(pred_fn, examples):
 
 
 def voiced_dev_view(corpus):
-    """Voiced dev utterances: the pairing rule excludes voiced sessions
-    from dev when silent data exists (``read_emg.py:164-167``), so the
-    voiced renditions of the dev sentences are re-discovered through a
-    silent-less config view — framewise mel RMSE / phoneme accuracy are
-    well-defined there."""
+    """Voiced dev utterances, as a list of examples. The pairing rule
+    excludes voiced sessions from dev when silent data exists
+    (``read_emg.py:164-167``), so the voiced renditions of the dev
+    sentences are re-discovered through a silent-less config view —
+    framewise mel RMSE / phoneme accuracy are well-defined there.
+
+    The view renumbers sessions (dataset session ids are positional in
+    the silent-then-voiced directory enumeration, ``dataset.py:175-185``)
+    so each example's ``session_ids`` is shifted back up by the number
+    of silent sessions to match the ids the models trained under."""
     import dataclasses
 
     from silent_speech_tpu.data.dataset import EMGDataset
 
-    return EMGDataset(
+    n_silent = sum(len(os.listdir(sd))
+                   for sd in corpus.silent_data_directories)
+    ds = EMGDataset(
         dataclasses.replace(corpus, silent_data_directories=[]),
         dev=True)
+    examples = []
+    for i in range(len(ds)):
+        dp = ds[i]
+        dp["session_ids"] = dp["session_ids"] + n_silent
+        examples.append(dp)
+    return examples
 
 
 def phoneme_acc(phone_fn, examples):
@@ -428,10 +441,10 @@ def ours_transduction(corpus, trainset, devset, *, epochs, target_lr,
 
 # --------------------------------------------------------------------------
 
-def main(rec_epochs=150, trans_epochs=80, utts=10, eval_every=1):
+def main(rec_epochs=300, trans_epochs=80, utts=20, eval_every=1):
+    sys.path.insert(0, "tools")
     from train_accuracy import build_arpa  # tools/ sibling
 
-    sys.path.insert(0, "tools")
     from silent_speech_tpu.data.dataset import EMGDataset
     from silent_speech_tpu.data.synthetic import generate_corpus
     from silent_speech_tpu.eval.decode import ArpaLM
@@ -448,10 +461,19 @@ def main(rec_epochs=150, trans_epochs=80, utts=10, eval_every=1):
     print(f"corpus: {len(trainset)} train / {len(devset)} dev "
           f"(learnable synthetic, seed=7)", flush=True)
 
-    hp = dict(target_lr=2e-3, warmup=16, wd=1e-7, max_batch_len=4000,
-              model_size=128, num_layers=2, dropout=0.2)
+    # per-task target lrs follow the reference defaults
+    # (recognition_model.py:23 → 3e-4, transduction_model.py:24 → 1e-3);
+    # round-4's first run used 2e-3 for BOTH and the recognition side
+    # blank-collapsed on both stacks — a hot-lr artifact, not a parity
+    # signal. Warmup is scaled to the tiny corpus.
+    hp_shared = dict(warmup=16, wd=1e-7, max_batch_len=4000,
+                     model_size=128, num_layers=2, dropout=0.2)
+    hp_rec = dict(target_lr=3e-4, **hp_shared)
+    hp_trans = dict(target_lr=1e-3, **hp_shared)
     tt = TextTransform()
     references = [tt.clean_text(e["text"]) for e in dev_examples]
+    train_probe = [trainset[i] for i in range(min(len(trainset), 8))]
+    refs_train = [tt.clean_text(e["text"]) for e in train_probe]
     texts = [trainset.example_meta(i)["text"] for i in range(len(trainset))]
     lm = ArpaLM(build_arpa(texts, os.path.join(work, "lm.arpa")))
 
@@ -460,23 +482,29 @@ def main(rec_epochs=150, trans_epochs=80, utts=10, eval_every=1):
     out = {"corpus": "learnable synthetic seed=7, 3 voiced + 1 silent "
                      f"sessions x {utts} utterances",
            "ours_backend": jax.devices()[0].platform,
-           "hyperparameters": {**hp, "rec_epochs": rec_epochs,
+           "hyperparameters": {**hp_shared, "rec_lr": hp_rec["target_lr"],
+                               "trans_lr": hp_trans["target_lr"],
+                               "rec_epochs": rec_epochs,
                                "trans_epochs": trans_epochs,
                                "eval_every": eval_every},
            "judges": "identical: native beam+LM (beam=50, ARPA bigram, "
-                     "a=1.5 b=1.85) + greedy; framewise voiced mel RMSE; "
-                     "phoneme accuracy"}
+                     "a=1.5 b=1.85) + greedy, WER + CER; framewise voiced "
+                     "mel RMSE; phoneme accuracy"}
 
     # ---- recognition ----
     t0 = time.time()
-    ours_logits = ours_recognition(
+    ours_dev_fn = ours_recognition(
         corpus, trainset, devset, epochs=rec_epochs,
-        workdir=work, eval_every=eval_every, **hp)(dev_examples)
+        workdir=work, eval_every=eval_every, **hp_rec)
     t_ours = time.time() - t0
+    ours_logits = ours_dev_fn(dev_examples)
+    ours_tr_logits = ours_dev_fn(train_probe)
     t0 = time.time()
-    torch_logits = torch_recognition(
-        corpus, trainset, devset, epochs=rec_epochs, **hp)(dev_examples)
+    torch_dev_fn = torch_recognition(
+        corpus, trainset, devset, epochs=rec_epochs, **hp_rec)
     t_torch = time.time() - t0
+    torch_logits = torch_dev_fn(dev_examples)
+    torch_tr_logits = torch_dev_fn(train_probe)
 
     blank = len(tt.chars)
     w_ours, p_ours = decode_wer(ours_logits, references, tt.chars, blank,
@@ -487,11 +515,23 @@ def main(rec_epochs=150, trans_epochs=80, utts=10, eval_every=1):
                             None, beam=False)
     wg_torch, _ = decode_wer(torch_logits, references, tt.chars, blank,
                              None, beam=False)
+    # train-set probe: memorization evidence, separates "didn't learn"
+    # from "didn't generalize"
+    wt_ours, _ = decode_wer(ours_tr_logits, refs_train, tt.chars, blank,
+                            None, beam=False)
+    wt_torch, _ = decode_wer(torch_tr_logits, refs_train, tt.chars,
+                             blank, None, beam=False)
+    from silent_speech_tpu.text import cer
+
     out["recognition"] = {
         "dev_wer_beam_lm": {"tpu": round(w_ours, 4),
                             "torch": round(w_torch, 4)},
         "dev_wer_greedy": {"tpu": round(wg_ours, 4),
                            "torch": round(wg_torch, 4)},
+        "dev_cer_beam_lm": {"tpu": round(cer(references, p_ours), 4),
+                            "torch": round(cer(references, p_torch), 4)},
+        "train_wer_greedy": {"tpu": round(wt_ours, 4),
+                             "torch": round(wt_torch, 4)},
         "train_seconds": {"tpu": round(t_ours, 1),
                           "torch": round(t_torch, 1)},
         "dev_predictions": {"tpu": p_ours, "torch": p_torch,
@@ -503,23 +543,22 @@ def main(rec_epochs=150, trans_epochs=80, utts=10, eval_every=1):
     # dev (silent) judged by DTW-aligned mel cost — the reference's dev
     # semantics; the voiced renditions of the dev sentences (via the
     # silent-less view) judged by framewise RMSE + phoneme accuracy
-    vdev = voiced_dev_view(corpus)
-    vdev_examples = [vdev[i] for i in range(len(vdev))]
+    vdev_examples = voiced_dev_view(corpus)
     t0 = time.time()
     ours_pred, ours_ph = ours_transduction(
         corpus, trainset, devset, epochs=trans_epochs,
-        workdir=work, eval_every=eval_every, **hp)
+        workdir=work, eval_every=eval_every, **hp_trans)
+    t_ours = time.time() - t0
     dtw_ours = dtw_dev_cost(ours_pred, dev_examples)
     rmse_ours = mel_rmse(ours_pred, vdev_examples)
     pa_ours = phoneme_acc(ours_ph, vdev_examples)
-    t_ours = time.time() - t0
     t0 = time.time()
     torch_pred, torch_ph = torch_transduction(
-        corpus, trainset, devset, epochs=trans_epochs, **hp)
+        corpus, trainset, devset, epochs=trans_epochs, **hp_trans)
+    t_torch = time.time() - t0
     dtw_torch = dtw_dev_cost(torch_pred, dev_examples)
     rmse_torch = mel_rmse(torch_pred, vdev_examples)
     pa_torch = phoneme_acc(torch_ph, vdev_examples)
-    t_torch = time.time() - t0
     out["transduction"] = {
         "dev_silent_dtw_mel_cost": {"tpu": round(dtw_ours, 4),
                                     "torch": round(dtw_torch, 4)},
@@ -542,9 +581,9 @@ def main(rec_epochs=150, trans_epochs=80, utts=10, eval_every=1):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rec_epochs", type=int, default=150)
+    ap.add_argument("--rec_epochs", type=int, default=300)
     ap.add_argument("--trans_epochs", type=int, default=80)
-    ap.add_argument("--utts", type=int, default=10,
+    ap.add_argument("--utts", type=int, default=20,
                     help="utterances per session (4 sessions total)")
     ap.add_argument("--eval_every", type=int, default=1,
                     help="our trainers' val/checkpoint cadence in epochs")

@@ -6,9 +6,13 @@ set -u
 cd "$(dirname "$0")/.."
 mkdir -p docs/tpu_sweep
 
+# Probe must only match a *device list* (e.g. "[TPU v5 lite0]" /
+# "[TpuDevice(...)]"), not error text that happens to mention "TPU" —
+# a CPU-fallback sweep silently overwriting the logs is worse than
+# aborting.
 probe=$(timeout 120 python -c "import jax; print(jax.devices())" 2>&1 | tail -1)
 case "$probe" in
-  *TpuDevice*|*TPU*) echo "tunnel up: $probe" ;;
+  \[*TpuDevice*\]|\[*TPU*\]) echo "tunnel up: $probe" ;;
   *) echo "tunnel NOT reachable: $probe"; exit 1 ;;
 esac
 

@@ -77,6 +77,10 @@ def main(steps: int = 300) -> None:
                         "segment_frames": 32, "batch_size": 16}}
 
     # ---- step time: timed through the production loop ------------------
+    # the first/last-10 windows must not overlap or the decreasing
+    # verdict compares shared samples
+    if steps < 20:
+        raise SystemExit(f"steps must be >= 20 (got {steps})")
     curve = []
     t_after_compile = {}
 
