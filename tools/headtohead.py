@@ -441,7 +441,21 @@ def ours_transduction(corpus, trainset, devset, *, epochs, target_lr,
 
 # --------------------------------------------------------------------------
 
-def main(rec_epochs=300, trans_epochs=80, utts=20, eval_every=1):
+def _write_partial(out):
+    """Incremental artifact write: a timeout mid-run must not lose the
+    completed halves (this host has ONE CPU core — the four trainings
+    serialize on it and the full run is long)."""
+    os.makedirs("docs", exist_ok=True)
+    with open("docs/HEADTOHEAD.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote docs/HEADTOHEAD.json (partial ok)", flush=True)
+
+
+def main(rec_epochs=300, trans_epochs=80, utts=20, eval_every=1,
+         tasks="all"):
+    import logging as pylogging
+
+    pylogging.basicConfig(level=pylogging.INFO)  # trainer epoch progress
     sys.path.insert(0, "tools")
     from train_accuracy import build_arpa  # tools/ sibling
 
@@ -490,8 +504,26 @@ def main(rec_epochs=300, trans_epochs=80, utts=20, eval_every=1):
            "judges": "identical: native beam+LM (beam=50, ARPA bigram, "
                      "a=1.5 b=1.85) + greedy, WER + CER; framewise voiced "
                      "mel RMSE; phoneme accuracy"}
+    if tasks != "all" and os.path.exists("docs/HEADTOHEAD.json"):
+        with open("docs/HEADTOHEAD.json") as f:
+            prev = json.load(f)
+        for k in ("recognition", "transduction"):
+            if k in prev:
+                out[k] = prev[k]  # keep the half we are not re-running
 
     # ---- recognition ----
+    if tasks in ("all", "rec"):
+        _run_recognition(out, corpus, trainset, devset, dev_examples,
+                         train_probe, references, refs_train, tt, lm,
+                         rec_epochs, eval_every, work, hp_rec)
+    if tasks in ("all", "trans"):
+        _run_transduction(out, corpus, trainset, devset, dev_examples,
+                          trans_epochs, eval_every, work, hp_trans)
+
+
+def _run_recognition(out, corpus, trainset, devset, dev_examples,
+                     train_probe, references, refs_train, tt, lm,
+                     rec_epochs, eval_every, work, hp_rec):
     t0 = time.time()
     ours_dev_fn = ours_recognition(
         corpus, trainset, devset, epochs=rec_epochs,
@@ -538,8 +570,11 @@ def main(rec_epochs=300, trans_epochs=80, utts=20, eval_every=1):
                             "references": references},
     }
     print(json.dumps(out["recognition"], indent=1), flush=True)
+    _write_partial(out)
 
-    # ---- transduction ----
+
+def _run_transduction(out, corpus, trainset, devset, dev_examples,
+                      trans_epochs, eval_every, work, hp_trans):
     # dev (silent) judged by DTW-aligned mel cost — the reference's dev
     # semantics; the voiced renditions of the dev sentences (via the
     # silent-less view) judged by framewise RMSE + phoneme accuracy
@@ -572,11 +607,7 @@ def main(rec_epochs=300, trans_epochs=80, utts=20, eval_every=1):
                           "torch": round(t_torch, 1)},
     }
     print(json.dumps(out["transduction"], indent=1), flush=True)
-
-    os.makedirs("docs", exist_ok=True)
-    with open("docs/HEADTOHEAD.json", "w") as f:
-        json.dump(out, f, indent=1)
-    print("wrote docs/HEADTOHEAD.json", flush=True)
+    _write_partial(out)
 
 
 if __name__ == "__main__":
@@ -587,6 +618,10 @@ if __name__ == "__main__":
                     help="utterances per session (4 sessions total)")
     ap.add_argument("--eval_every", type=int, default=1,
                     help="our trainers' val/checkpoint cadence in epochs")
+    ap.add_argument("--tasks", choices=("all", "rec", "trans"),
+                    default="all",
+                    help="run one comparison only (the other half of "
+                         "docs/HEADTOHEAD.json is preserved)")
     ap.add_argument("--ours_platform", choices=("cpu", "default"),
                     default="cpu",
                     help="'default' leaves JAX on its native backend "
@@ -598,4 +633,4 @@ if __name__ == "__main__":
         force_cpu(1)
     sys.path.insert(0, "tools")
     main(a.rec_epochs, a.trans_epochs, utts=a.utts,
-         eval_every=a.eval_every)
+         eval_every=a.eval_every, tasks=a.tasks)
