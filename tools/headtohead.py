@@ -444,7 +444,19 @@ def ours_transduction(corpus, trainset, devset, *, epochs, target_lr,
 def _write_partial(out):
     """Incremental artifact write: a timeout mid-run must not lose the
     completed halves (this host has ONE CPU core — the four trainings
-    serialize on it and the full run is long)."""
+    serialize on it and the full run is long). Task blocks not present
+    in ``out`` are carried over from the existing artifact so a partial
+    run never erases the other half's last good numbers."""
+    if os.path.exists("docs/HEADTOHEAD.json"):
+        try:
+            with open("docs/HEADTOHEAD.json") as f:
+                prev = json.load(f)
+            for k in ("recognition", "transduction"):
+                if k in prev and k not in out:
+                    out.setdefault("carried_over", []).append(k)
+                    out[k] = prev[k]
+        except (json.JSONDecodeError, OSError):
+            pass
     os.makedirs("docs", exist_ok=True)
     with open("docs/HEADTOHEAD.json", "w") as f:
         json.dump(out, f, indent=1)
