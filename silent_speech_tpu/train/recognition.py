@@ -77,6 +77,7 @@ class RecognitionTrainer:
         self.state: Optional[TrainState] = None
         self._train_step = self._build_train_step()
         self._cache_step = self._build_cache_step()
+        self._cache_scan_step = None  # built on first cache_scan_ids use
         self._logits_fn = self._build_logits_fn()
         self._lm: Optional[ArpaLM] = None
 
@@ -161,6 +162,85 @@ class RecognitionTrainer:
             return new_state, {"loss": loss}
 
         return jax.jit(cache_step, donate_argnums=(0,))
+
+    def _build_cache_scan_step(self):
+        """W CTC train steps per dispatch: ``lax.scan`` over a (W, U) id
+        wave against the HBM corpus (mirror of
+        transduction._build_cache_scan_step — Python-level dispatch
+        through a remote-attached device costs ~1 s/call through the
+        tunnel; scanning W steps inside ONE jit amortizes it to 1/W).
+        The optax.MultiSteps ×2 grad-accumulation state rides in
+        ``opt_state`` through the scan carry, so accumulate-then-apply
+        behaves exactly as in the per-step path
+        (recognition_model.py:105-107 parity)."""
+        from ..data.device_cache import assemble_batch
+
+        blank = self.blank_id
+
+        def scan_step(state: TrainState, arrays, utt_ids_w, utt_valid_w,
+                      rng, lrs):
+            def body(state, xs):
+                utt_ids, utt_valid, lr = xs
+                batch = assemble_batch(arrays, utt_ids, utt_valid,
+                                       **self._cache_caps())
+                if self.mesh.devices.size > 1:
+                    from ..parallel.mesh import constrain_batch
+
+                    batch = constrain_batch(batch, self.mesh)
+                state = state.replace(
+                    opt_state=set_learning_rate(state.opt_state, lr))
+                step_rng = jax.random.fold_in(rng, state.step)
+                shift_rng, dropout_rng = jax.random.split(step_rng)
+
+                def loss_fn(params):
+                    logits, mutated = self._apply(
+                        params, state.batch_stats, batch, train=True,
+                        rngs={"shift": shift_rng,
+                              "dropout": dropout_rng},
+                        mutable=True)
+                    log_probs = jax.nn.log_softmax(logits, axis=-1)
+                    loss = ctc_loss(log_probs, batch, blank_id=blank)
+                    return loss, mutated["batch_stats"]
+
+                (loss, bs), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+                state = state.apply_gradients(grads, new_batch_stats=bs)
+                return state, {"loss": loss}
+
+            return jax.lax.scan(body, state,
+                                (utt_ids_w, utt_valid_w, lrs))
+
+        return jax.jit(scan_step, donate_argnums=(0,))
+
+    def cache_scan_ids(self, corpus, id_lists: List[List[int]], rng,
+                       lrs: List[float]):
+        """Run ``len(id_lists)`` cached-corpus CTC steps in ONE dispatch.
+        Returns stacked metrics, or None if any batch exceeds the caps
+        (callers fall back to per-batch steps)."""
+        caps = self._cache_caps()
+        u_cap = _round_up(self.cfg.data.utt_cap, self.mesh.shape["data"])
+        w = len(id_lists)
+        utt_ids = np.zeros((w, u_cap), np.int32)
+        valid = np.zeros((w, u_cap), bool)
+        for j, ids in enumerate(id_lists):
+            ids = list(ids)
+            if (len(ids) > u_cap
+                    or int(corpus.feat_len_host[ids].sum())
+                    > caps["n_chunks"] * caps["seq_len"]
+                    or int(corpus.feat_len_host[ids].max(initial=0))
+                    > caps["t_cap"]
+                    or int(corpus.text_len_host[ids].max(initial=0))
+                    > caps["text_cap"]):
+                return None
+            utt_ids[j, : len(ids)] = ids
+            valid[j, : len(ids)] = True
+        if self._cache_scan_step is None:
+            self._cache_scan_step = self._build_cache_scan_step()
+        self.state, metrics = self._cache_scan_step(
+            self.state, corpus.arrays, utt_ids, valid,
+            jax.random.PRNGKey(0) if rng is None else rng,
+            np.asarray(lrs, np.float32))
+        return metrics
 
     def cache_step_ids(self, corpus, ids: List[int], rng, lr: float):
         """One cached-corpus CTC step; None if the batch exceeds caps."""
@@ -329,13 +409,38 @@ class RecognitionTrainer:
                 logging.warning("HBM cache over budget - using the host "
                                 "packing path (per-batch upload)")
 
+        wave_size = max(1, self.cfg.data.wave_size) \
+            if self.cfg.data.fixed_shapes else 1
+
         for epoch in range(start_epoch, epochs):
             losses = []
             t0 = time.time()
-            for idx_batch in sampler:
+
+            def lr_at(step):
                 # reference counts warmup in batches, stepping every 2
-                lr = warmup_lr(global_step, cfg.learning_rate,
-                               cfg.learning_rate_warmup) * multistep.scale
+                return warmup_lr(step, cfg.learning_rate,
+                                 cfg.learning_rate_warmup) \
+                    * multistep.scale
+
+            id_batches = list(sampler)
+            pos = 0
+            while pos < len(id_batches):
+                group = id_batches[pos: pos + wave_size] \
+                    if corpus is not None else id_batches[pos: pos + 1]
+                metrics = None
+                # only full waves scan (a short tail would recompile)
+                if len(group) == wave_size and wave_size > 1:
+                    lrs = [lr_at(global_step + j)
+                           for j in range(len(group))]
+                    metrics = self.cache_scan_ids(corpus, group, rng,
+                                                  lrs)
+                if metrics is not None:  # W steps in one dispatch
+                    losses.extend(metrics["loss"])
+                    global_step += len(group)
+                    pos += len(group)
+                    continue
+                idx_batch = group[0]
+                lr = lr_at(global_step)
                 metrics = None
                 if corpus is not None:
                     metrics = self.cache_step_ids(corpus, idx_batch, rng,
@@ -347,6 +452,7 @@ class RecognitionTrainer:
                         self.state, db, rng, np.float32(lr))
                 losses.append(metrics["loss"])
                 global_step += 1
+                pos += 1
             train_loss = float(np.mean([float(l) for l in losses])) \
                 if losses else float("nan")
             if losses and not np.isfinite(train_loss):

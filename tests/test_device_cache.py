@@ -260,6 +260,53 @@ def test_cache_scan_matches_sequential_steps(examples):
     np.testing.assert_allclose(scan_losses, seq_losses, rtol=1e-5)
 
 
+@pytest.mark.slow  # full train-step / heavy compile
+def test_recognition_cache_scan_matches_sequential_steps(examples):
+    """W scanned CTC steps in one dispatch == W sequential cache steps —
+    including the optax.MultiSteps ×2 grad-accumulation boundary, whose
+    accumulator rides in opt_state through the scan carry."""
+    from silent_speech_tpu.config import Config
+    from silent_speech_tpu.parallel.mesh import make_mesh
+    from silent_speech_tpu.train.recognition import RecognitionTrainer
+
+    def cfg_():
+        cfg = Config()
+        cfg.model.model_size = 64
+        cfg.model.num_layers = 2
+        cfg.model.dim_feedforward = 128
+        cfg.model.dropout = 0.0
+        cfg.model.shift_augment = False  # see the transduction twin
+        cfg.model.compute_dtype = "float32"
+        cfg.data.seq_len = 40
+        cfg.data.t_cap = 128
+        cfg.data.utt_cap = 8
+        cfg.recognition.max_batch_len = int(8 * 40 * 6 / 0.51679)
+        return cfg
+
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    # 4 steps with accum ×2 → two real optimizer applications; loss k+1
+    # observes the params written at the k-th apply boundary
+    id_lists = [[0, 1, 2], [2, 3, 4], [0, 3, 4], [1, 2, 4]]
+    lrs = [1e-3, 9e-4, 8e-4, 7e-4]
+
+    trainer = RecognitionTrainer(cfg_(), mesh=mesh)
+    rng = jax.random.PRNGKey(0)
+    corpus = DeviceCorpus.build(examples)
+    trainer.init_state(trainer._pack(examples), seed=0)
+    seq_losses = []
+    for ids, lr in zip(id_lists, lrs):
+        m = trainer.cache_step_ids(corpus, ids, rng, lr)
+        assert m is not None
+        seq_losses.append(float(m["loss"]))
+
+    trainer2 = RecognitionTrainer(cfg_(), mesh=mesh)
+    trainer2.init_state(trainer2._pack(examples), seed=0)
+    m = trainer2.cache_scan_ids(corpus, id_lists, rng, lrs)
+    assert m is not None
+    scan_losses = [float(l) for l in m["loss"]]
+    np.testing.assert_allclose(scan_losses, seq_losses, rtol=1e-5)
+
+
 def test_hbm_budget_refuses_loudly(examples, monkeypatch):
     """Over-budget corpus raises HBMBudgetError with exact byte accounting
     (VERDICT weak-7: the cache capacity must be budgeted, not asserted)."""
