@@ -142,6 +142,8 @@ struct LMBeam {
   uint32_t ctx[kMaxCtx];  // last completed word ids, oldest first
   int32_t n_ctx = 0;      // valid entries in ctx
   int32_t total_words = 0;
+  int32_t ctx_id = 0;     // interned (ring, <s>-in-window) id — the LM
+                          // state key for the word-bonus cache
   // the word in progress is NOT stored: it is derivable from the prefix
   // trie (chars since the last space), so beams stay POD — no string
   // allocation on the ~beam*K extension path
@@ -150,6 +152,7 @@ struct LMBeam {
     std::memcpy(ctx, src.ctx, sizeof(ctx));
     n_ctx = src.n_ctx;
     total_words = src.total_words;
+    ctx_id = src.ctx_id;
   }
   void PushWord(uint32_t id) {
     if (n_ctx == kMaxCtx) {
@@ -232,15 +235,54 @@ int32_t ssp_ctc_beam_decode_lm(int64_t handle, const double* log_probs,
     return id;
   };
 
+  // node → interned word-id of the word in progress (-2 = empty);
+  // trie nodes are immutable prefixes, so this memo is exact and turns
+  // the per-call string walk into an O(1) lookup after first touch
+  std::vector<int32_t> node_wid;
+  auto word_id_at = [&](int32_t node) -> int32_t {
+    if ((size_t)node < node_wid.size() && node_wid[node] != -1)
+      return node_wid[node];
+    std::string w = cur_word(node);
+    int32_t id = w.empty() ? -2 : (int32_t)intern(w);
+    if ((size_t)node >= node_wid.size()) node_wid.resize(node + 1024, -1);
+    node_wid[node] = id;
+    return id;
+  };
+
+  // LM-state interning: a beam's LM state is its context ring plus
+  // whether "<s>" is still inside the window. Interning it to an id
+  // keys the word-bonus cache, so each distinct (LM state, word) pair
+  // hits ScoreWord at most ONCE per utterance — the LM-fused decode
+  // used to re-score identical contexts every frame (the dominant cost
+  // at beam=100: ~3 s/utt with the probing binary, bench_decode.log r4).
+  // id 0 = the initial state (empty ring, "<s>" in window): key "\x01"
+  std::unordered_map<std::string, int32_t> ctx_ids{
+      {std::string(1, '\x01'), 0}};
+  auto intern_ctx = [&](const LMBeam& b) -> int32_t {
+    std::string key((const char*)b.ctx, b.n_ctx * sizeof(uint32_t));
+    key.push_back(b.total_words == b.n_ctx ? 1 : 0);
+    auto it = ctx_ids.find(key);
+    if (it != ctx_ids.end()) return it->second;
+    int32_t id = (int32_t)ctx_ids.size();
+    ctx_ids.emplace(std::move(key), id);
+    return id;
+  };
+
+  std::unordered_map<uint64_t, double> bonus_cache;
   auto word_bonus = [&](const LMBeam& beam, int32_t node) -> double {
-    std::string cur = cur_word(node);
-    if (cur.empty()) return 0.0;
+    int32_t wid = word_id_at(node);
+    if (wid == -2) return 0.0;
     if (lm == nullptr) return beta;
+    uint64_t key = ((uint64_t)(uint32_t)beam.ctx_id << 32) | (uint32_t)wid;
+    auto it = bonus_cache.find(key);
+    if (it != bonus_cache.end()) return it->second;
     std::vector<std::string> ctx;
     if (beam.total_words == beam.n_ctx) ctx.push_back("<s>");
     for (int32_t i = 0; i < beam.n_ctx; i++)
       ctx.push_back(word_tab[beam.ctx[i]]);
-    return alpha * lm->ScoreWord(ctx, cur) + beta;
+    double v = alpha * lm->ScoreWord(ctx, word_tab[wid]) + beta;
+    bonus_cache.emplace(key, v);
+    return v;
   };
 
   struct Entry { int32_t node; LMBeam beam; };
@@ -264,14 +306,32 @@ int32_t ssp_ctc_beam_decode_lm(int64_t handle, const double* log_probs,
     return next[idx].beam;
   };
 
-  std::vector<int32_t> cand;
+  // an extension's score is bounded by p_total + frame[s] + bonus_cap
+  // (LM log-probs are <= 0, so only the flat +beta can raise a score)
+  const double bonus_cap = beta > 0 ? beta : 0.0;
+
+  std::vector<std::pair<double, int32_t>> cand;  // (logp, symbol) desc
   for (int32_t t = 0; t < T; t++) {
     const double* frame = log_probs + (int64_t)t * K;
     double fmax = kNegInf;
     for (int32_t s = 0; s < K; s++) fmax = std::max(fmax, frame[s]);
     cand.clear();
     for (int32_t s = 0; s < K; s++) {
-      if (frame[s] >= fmax + prune_logp) cand.push_back(s);
+      if (frame[s] >= fmax + prune_logp) cand.emplace_back(frame[s], s);
+    }
+    std::sort(cand.begin(), cand.end(),
+              [](const auto& a, const auto& b) { return a.first > b.first; });
+
+    // min-cutoff (the pruning rule the reference's own ctcdecode ships):
+    // once the beam is full, the worst kept prefix is guaranteed a next
+    // score of at least worst.Total() + frame[blank] via its blank
+    // extension, so extensions bounded below that cannot enter the top
+    // beam_width — skip them. beams are sorted descending, so both
+    // loops break early.
+    double min_cutoff = kNegInf;
+    if (beams.size() >= (size_t)beam_width
+        && frame[blank] >= fmax + prune_logp) {
+      min_cutoff = beams.back().beam.Total() + frame[blank];
     }
 
     slots.NextEpoch();
@@ -280,9 +340,10 @@ int32_t ssp_ctc_beam_decode_lm(int64_t handle, const double* log_probs,
       const int32_t node = entry.node;
       const LMBeam& beam = entry.beam;
       double p_total = beam.Total();
+      if (p_total + fmax + bonus_cap < min_cutoff) break;
       int32_t last = trie.Sym(node);
-      for (int32_t s : cand) {
-        double p = frame[s];
+      for (const auto& [p, s] : cand) {
+        if (p_total + p + bonus_cap < min_cutoff) break;
         if (s == blank) {
           LMBeam& nb = claim(node, beam);
           nb.p_blank = LogSumExp2(nb.p_blank, p_total + p);
@@ -304,8 +365,11 @@ int32_t ssp_ctc_beam_decode_lm(int64_t handle, const double* log_probs,
               idx = (int32_t)next.size();
               next.push_back({ext, LMBeam{}});
               next[idx].beam.CopyCtx(beam);
-              std::string w = cur_word(node);
-              if (!w.empty()) next[idx].beam.PushWord(intern(w));
+              int32_t wid = word_id_at(node);
+              if (wid != -2) {
+                next[idx].beam.PushWord((uint32_t)wid);
+                next[idx].beam.ctx_id = intern_ctx(next[idx].beam);
+              }
               slots.Put(ext, idx);
             }
             LMBeam& nb = next[idx].beam;

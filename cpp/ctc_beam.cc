@@ -50,7 +50,7 @@ int32_t ssp_ctc_beam_decode(const double* log_probs, int32_t T, int32_t K,
   std::vector<Entry> next;
   SlotTable slots;
 
-  std::vector<int32_t> cand;
+  std::vector<std::pair<double, int32_t>> cand;  // (logp, symbol) desc
   cand.reserve(K);
   std::vector<std::pair<double, int32_t>> scored;
 
@@ -64,13 +64,27 @@ int32_t ssp_ctc_beam_decode(const double* log_probs, int32_t T, int32_t K,
     return next[idx].beam;
   };
 
+  // extension scores are bounded by p_total + frame[s] + bonus_cap
+  const double bonus_cap = beta > 0 ? beta : 0.0;
+
   for (int32_t t = 0; t < T; t++) {
     const double* frame = log_probs + static_cast<int64_t>(t) * K;
     double fmax = kNegInf;
     for (int32_t s = 0; s < K; s++) fmax = std::max(fmax, frame[s]);
     cand.clear();
     for (int32_t s = 0; s < K; s++) {
-      if (frame[s] >= fmax + prune_logp) cand.push_back(s);
+      if (frame[s] >= fmax + prune_logp) cand.emplace_back(frame[s], s);
+    }
+    std::sort(cand.begin(), cand.end(),
+              [](const auto& a, const auto& b) { return a.first > b.first; });
+
+    // min-cutoff pruning (see arpa_lm.cc): the worst kept prefix is
+    // guaranteed worst.Total() + frame[blank] via its blank extension,
+    // so anything bounded below that cannot enter the top beam_width
+    double min_cutoff = kNegInf;
+    if (beams.size() >= static_cast<size_t>(beam_width)
+        && frame[blank] >= fmax + prune_logp) {
+      min_cutoff = beams.back().beam.Total() + frame[blank];
     }
 
     slots.NextEpoch();
@@ -79,9 +93,10 @@ int32_t ssp_ctc_beam_decode(const double* log_probs, int32_t T, int32_t K,
       const int32_t node = entry.node;
       const Beam& beam = entry.beam;
       double p_total = beam.Total();
+      if (p_total + fmax + bonus_cap < min_cutoff) break;
       int32_t last = trie.Sym(node);
-      for (int32_t s : cand) {
-        double p = frame[s];
+      for (const auto& [p, s] : cand) {
+        if (p_total + p + bonus_cap < min_cutoff) break;
         if (s == blank) {
           Beam& nb = claim(node);
           nb.p_blank = LogSumExp2(nb.p_blank, p_total + p);

@@ -28,6 +28,7 @@ LRELU_SLOPE = 0.1
 
 class PeriodDiscriminator(nn.Module):
     period: int
+    width_div: int = 1  # >1 shrinks channels (smoke/dryrun configs only)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray
@@ -41,13 +42,14 @@ class PeriodDiscriminator(nn.Module):
         x = x.reshape(b, (t + pad) // p, p, 1)  # (B, T/p, p, 1) NHWC
 
         fmaps = []
-        channels = (32, 128, 512, 1024)
+        d = self.width_div
+        channels = (32 // d, 128 // d, 512 // d, 1024 // d)
         for i, ch in enumerate(channels):
-            x = nn.Conv(ch, kernel_size=(5, 1), strides=(3, 1),
+            x = nn.Conv(max(ch, 1), kernel_size=(5, 1), strides=(3, 1),
                         padding=((2, 2), (0, 0)), name=f"conv{i}")(x)
             x = jax.nn.leaky_relu(x, LRELU_SLOPE)
             fmaps.append(x)
-        x = nn.Conv(1024, kernel_size=(5, 1), strides=(1, 1),
+        x = nn.Conv(max(1024 // d, 1), kernel_size=(5, 1), strides=(1, 1),
                     padding=((2, 2), (0, 0)), name="conv4")(x)
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         fmaps.append(x)
@@ -58,12 +60,15 @@ class PeriodDiscriminator(nn.Module):
 
 
 class ScaleDiscriminator(nn.Module):
+    width_div: int = 1  # >1 shrinks channels (smoke/dryrun configs only)
+
     @nn.compact
     def __call__(self, x: jnp.ndarray
                  ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
         """x (B, T) → (score, feature maps); 1-D conv stack, NHC layout."""
         b = x.shape[0]
         h = x[:, :, None]
+        d = self.width_div
         cfg = [  # (channels, kernel, stride, groups)
             (128, 15, 1, 1), (128, 41, 2, 4), (256, 41, 2, 16),
             (512, 41, 4, 16), (1024, 41, 4, 16), (1024, 41, 1, 16),
@@ -71,6 +76,7 @@ class ScaleDiscriminator(nn.Module):
         ]
         fmaps = []
         for i, (ch, k, s, g) in enumerate(cfg):
+            ch = max(ch // d, g)  # keep divisibility by the group count
             h = nn.Conv(ch, kernel_size=(k,), strides=(s,),
                         padding=[(k // 2, k // 2)], feature_group_count=g,
                         name=f"conv{i}")(h)
@@ -83,24 +89,32 @@ class ScaleDiscriminator(nn.Module):
 
 
 class HiFiGANDiscriminators(nn.Module):
-    """MPD(2,3,5,7,11) + MSD(×1, ×2, ×4 avg-pooled)."""
+    """MPD(2,3,5,7,11) + MSD(×1, ×2, ×4 avg-pooled).
+
+    ``n_scales`` shrinks the MSD ensemble (default 3 = published V1) and
+    ``width_div`` the conv widths; reduced ensembles are for cheap
+    smoke/dryrun configs only."""
 
     periods: Sequence[int] = (2, 3, 5, 7, 11)
+    n_scales: int = 3
+    width_div: int = 1
 
     @nn.compact
     def __call__(self, audio: jnp.ndarray):
         """audio (B, T) → (scores list, feature-map lists)."""
         scores, fmaps = [], []
         for p in self.periods:
-            s, f = PeriodDiscriminator(period=p, name=f"mpd_{p}")(audio)
+            s, f = PeriodDiscriminator(period=p, width_div=self.width_div,
+                                       name=f"mpd_{p}")(audio)
             scores.append(s)
             fmaps.append(f)
         x = audio
-        for i in range(3):
+        for i in range(self.n_scales):
             if i > 0:
                 x = nn.avg_pool(x[:, :, None], window_shape=(4,),
                                 strides=(2,), padding=[(2, 2)])[:, :, 0]
-            s, f = ScaleDiscriminator(name=f"msd_{i}")(x)
+            s, f = ScaleDiscriminator(width_div=self.width_div,
+                                      name=f"msd_{i}")(x)
             scores.append(s)
             fmaps.append(f)
         return scores, fmaps

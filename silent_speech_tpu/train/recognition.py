@@ -212,25 +212,31 @@ class RecognitionTrainer:
 
         return jax.jit(scan_step, donate_argnums=(0,))
 
+    def _cache_fits(self, corpus, ids: List[int]) -> bool:
+        """True when one id-batch fits the static cache-step caps."""
+        caps = self._cache_caps()
+        u_cap = _round_up(self.cfg.data.utt_cap, self.mesh.shape["data"])
+        ids = list(ids)
+        return not (len(ids) > u_cap
+                    or int(corpus.feat_len_host[ids].sum())
+                    > caps["n_chunks"] * caps["seq_len"]
+                    or int(corpus.feat_len_host[ids].max(initial=0))
+                    > caps["t_cap"]
+                    or int(corpus.text_len_host[ids].max(initial=0))
+                    > caps["text_cap"])
+
     def cache_scan_ids(self, corpus, id_lists: List[List[int]], rng,
                        lrs: List[float]):
         """Run ``len(id_lists)`` cached-corpus CTC steps in ONE dispatch.
         Returns stacked metrics, or None if any batch exceeds the caps
         (callers fall back to per-batch steps)."""
-        caps = self._cache_caps()
         u_cap = _round_up(self.cfg.data.utt_cap, self.mesh.shape["data"])
         w = len(id_lists)
         utt_ids = np.zeros((w, u_cap), np.int32)
         valid = np.zeros((w, u_cap), bool)
         for j, ids in enumerate(id_lists):
             ids = list(ids)
-            if (len(ids) > u_cap
-                    or int(corpus.feat_len_host[ids].sum())
-                    > caps["n_chunks"] * caps["seq_len"]
-                    or int(corpus.feat_len_host[ids].max(initial=0))
-                    > caps["t_cap"]
-                    or int(corpus.text_len_host[ids].max(initial=0))
-                    > caps["text_cap"]):
+            if not self._cache_fits(corpus, ids):
                 return None
             utt_ids[j, : len(ids)] = ids
             valid[j, : len(ids)] = True
@@ -244,16 +250,9 @@ class RecognitionTrainer:
 
     def cache_step_ids(self, corpus, ids: List[int], rng, lr: float):
         """One cached-corpus CTC step; None if the batch exceeds caps."""
-        caps = self._cache_caps()
         u_cap = _round_up(self.cfg.data.utt_cap, self.mesh.shape["data"])
         ids = list(ids)
-        if (len(ids) > u_cap
-                or int(corpus.feat_len_host[ids].sum())
-                > caps["n_chunks"] * caps["seq_len"]
-                or int(corpus.feat_len_host[ids].max(initial=0))
-                > caps["t_cap"]
-                or int(corpus.text_len_host[ids].max(initial=0))
-                > caps["text_cap"]):
+        if not self._cache_fits(corpus, ids):
             return None
         utt_ids = np.zeros(u_cap, np.int32)
         utt_ids[: len(ids)] = ids
@@ -423,22 +422,35 @@ class RecognitionTrainer:
                     * multistep.scale
 
             id_batches = list(sampler)
+            # pre-mark over-cap batches: a wave is only attempted over a
+            # run of cap-fitting batches, so one oversized batch degrades
+            # ONLY itself to per-step dispatch — not every window that
+            # would have contained it (each failed wave attempt costs the
+            # full guard scan and, through the TPU tunnel, returns the
+            # ~1 s/step dispatch latency the scan exists to amortize)
+            fits = [corpus is not None and self._cache_fits(corpus, ids)
+                    for ids in id_batches]
             pos = 0
             while pos < len(id_batches):
-                group = id_batches[pos: pos + wave_size] \
-                    if corpus is not None else id_batches[pos: pos + 1]
                 metrics = None
                 # only full waves scan (a short tail would recompile)
-                if len(group) == wave_size and wave_size > 1:
-                    lrs = [lr_at(global_step + j)
-                           for j in range(len(group))]
-                    metrics = self.cache_scan_ids(corpus, group, rng,
-                                                  lrs)
+                if wave_size > 1 and fits[pos]:
+                    end = pos
+                    while (end < len(id_batches) and end - pos < wave_size
+                           and fits[end]):
+                        end += 1
+                    if end - pos == wave_size:
+                        group = id_batches[pos:end]
+                        lrs = [lr_at(global_step + j)
+                               for j in range(len(group))]
+                        metrics = self.cache_scan_ids(corpus, group, rng,
+                                                      lrs)
                 if metrics is not None:  # W steps in one dispatch
                     losses.extend(metrics["loss"])
-                    global_step += len(group)
-                    pos += len(group)
+                    global_step += wave_size
+                    pos += wave_size
                     continue
+                group = id_batches[pos: pos + 1]
                 idx_batch = group[0]
                 lr = lr_at(global_step)
                 metrics = None

@@ -278,6 +278,13 @@ class TransductionTrainer:
             or int(corpus.text_len_host[ids].max(initial=0))
             > caps["text_cap"])
 
+    def _cache_fits(self, corpus, ids: List[int]) -> bool:
+        """True when one id-batch fits the static cache-step caps
+        (order-independent: the guard only sums/maxes over ids)."""
+        caps = self._cache_caps()
+        u_cap = _round_up(self.cfg.data.utt_cap, self.mesh.shape["data"])
+        return self._cache_guard_ok(corpus, list(ids), caps, u_cap)
+
     def cache_scan_ids(self, corpus, id_lists: List[List[int]], rng,
                        lrs: List[float]):
         """Run ``len(id_lists)`` cached-corpus steps in ONE dispatch.
@@ -517,26 +524,36 @@ class TransductionTrainer:
             if corpus is not None:
                 scan_w = max(1, wave_size)
                 id_batches = list(batch_iter)
+                # pre-mark over-cap batches so one oversized batch only
+                # degrades ITSELF to per-step dispatch, not every wave
+                # window containing it (see recognition.fit)
+                fits = [self._cache_fits(corpus, ids)
+                        for ids in id_batches]
                 pos = 0
                 while pos < len(id_batches):
-                    group = id_batches[pos: pos + scan_w]
                     metrics = None
                     # only full waves scan (a short tail would recompile)
-                    if len(group) == scan_w and scan_w > 1:
-                        lrs = [warmup_lr(global_step + j,
-                                         cfg.learning_rate,
-                                         cfg.learning_rate_warmup)
-                               * plateau.scale
-                               for j in range(len(group))]
-                        metrics = self.cache_scan_ids(corpus, group, rng,
-                                                      lrs)
+                    if scan_w > 1 and fits[pos]:
+                        end = pos
+                        while (end < len(id_batches)
+                               and end - pos < scan_w and fits[end]):
+                            end += 1
+                        if end - pos == scan_w:
+                            group = id_batches[pos:end]
+                            lrs = [warmup_lr(global_step + j,
+                                             cfg.learning_rate,
+                                             cfg.learning_rate_warmup)
+                                   * plateau.scale
+                                   for j in range(len(group))]
+                            metrics = self.cache_scan_ids(
+                                corpus, group, rng, lrs)
                     if metrics is not None:  # W steps in one dispatch
                         losses.extend(metrics["loss"])
-                        global_step += len(group)
-                        n_steps += len(group)
-                        pos += len(group)
+                        global_step += scan_w
+                        n_steps += scan_w
+                        pos += scan_w
                         continue
-                    idx_batch = group[0]
+                    idx_batch = id_batches[pos]
                     metrics = self.cache_step_ids(corpus, idx_batch, rng,
                                                   lr_now())
                     if metrics is None:  # over static caps → host path

@@ -117,6 +117,7 @@ class VocoderTrainer:
                  mel_weight: float = 45.0, fm_weight: float = 2.0,
                  seed: int = 0,
                  disc_periods: Tuple[int, ...] = (2, 3, 5, 7, 11),
+                 disc_scales: int = 3, disc_width_div: int = 1,
                  mesh=None):
         """``mesh``: a ``jax.sharding.Mesh`` with a 'data' axis — the GAN
         step then runs data-parallel (params/optimizer replicated, the
@@ -130,7 +131,9 @@ class VocoderTrainer:
         self.lr = learning_rate
         self.lr_decay = lr_decay
         self.mesh = mesh
-        self.disc = HiFiGANDiscriminators(periods=disc_periods)
+        self.disc = HiFiGANDiscriminators(periods=disc_periods,
+                                          n_scales=disc_scales,
+                                          width_div=disc_width_div)
 
         key = jax.random.PRNGKey(seed)
         kg, kd = jax.random.split(key)

@@ -55,6 +55,25 @@ def _dev_examples(devset):
     return [devset[i] for i in range(len(devset))]
 
 
+import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
+def _zero_inmodel_shift(ref_architecture):
+    """Disable the reference model's in-place shift augmentation
+    (architecture.py:64-68) while the training loop runs — the identical
+    shift is applied outside (:func:`_shift_augment_torch`, torch 2
+    rejects the reference's overlapping in-place copy). Scoped because
+    ``ref_architecture.random`` IS the stdlib ``random`` module: a
+    process-global patch would silently leak into any later import."""
+    orig = ref_architecture.random.randrange
+    ref_architecture.random.randrange = lambda n: 0
+    try:
+        yield
+    finally:
+        ref_architecture.random.randrange = orig
+
+
 def _shift_augment_torch(torch, Xr, rnd):
     """Reference raw-EMG shift augmentation (architecture.py:64-68),
     applied OUTSIDE the model: torch 2 rejects the reference's in-place
@@ -201,7 +220,6 @@ def torch_recognition(corpus, trainset, devset, *, epochs, target_lr,
     torch.manual_seed(seed)
     model = ref_architecture.Model(112, n_chars + 1)
     _patch_torch2_compat(model)
-    ref_architecture.random.randrange = lambda n: 0  # see _shift_augment_torch
     import random as pyrandom
     shift_rnd = pyrandom.Random(seed + 100)
     optim = torch.optim.AdamW(model.parameters(), lr=target_lr,
@@ -211,41 +229,44 @@ def torch_recognition(corpus, trainset, devset, *, epochs, target_lr,
 
     batch_idx = 0
     t0 = time.time()
-    for epoch in range(epochs):
-        model.train()
-        for ids in sampler:
-            exs = [trainset[i] for i in ids]
-            b = _ref_batches(torch, [exs])[0]
-            b["text_int"] = [
-                torch.tensor(np.asarray(e["text_int"], np.int64))
-                for e in exs]
-            b["text_int_lengths"] = [len(e["text_int"]) for e in exs]
-            it = batch_idx + 1
-            if it <= warmup:  # recognition_model.py:80-85
-                for g in optim.param_groups:
-                    g["lr"] = it * target_lr / warmup
-            X = _combine_fixed_length_torch(torch, b["emg"], seq_len)
-            Xr = _combine_fixed_length_torch(torch, b["raw_emg"],
-                                             seq_len * 8)
-            Xr = _shift_augment_torch(torch, Xr, shift_rnd)
-            sess = _combine_fixed_length_torch(torch, b["session_ids"],
-                                               seq_len)
-            pred = model(X, Xr, sess)
-            pred = F.log_softmax(pred, 2)
-            pred = nn.utils.rnn.pad_sequence(
-                _decollate_torch(pred, b["lengths"]), batch_first=False)
-            y = nn.utils.rnn.pad_sequence(b["text_int"], batch_first=True)
-            loss = F.ctc_loss(pred, y, b["lengths"],
-                              b["text_int_lengths"], blank=n_chars)
-            loss.backward()
-            if it % 2 == 0:  # accum x2, recognition_model.py:105
-                optim.step()
-                optim.zero_grad()
-            batch_idx += 1
-        if (epoch + 1) % 20 == 0:
-            print(f"[torch rec] epoch {epoch + 1}/{epochs} loss "
-                  f"{float(loss):.3f} ({time.time() - t0:.0f}s)",
-                  flush=True)
+    with _zero_inmodel_shift(ref_architecture):
+        for epoch in range(epochs):
+            model.train()
+            for ids in sampler:
+                exs = [trainset[i] for i in ids]
+                b = _ref_batches(torch, [exs])[0]
+                b["text_int"] = [
+                    torch.tensor(np.asarray(e["text_int"], np.int64))
+                    for e in exs]
+                b["text_int_lengths"] = [len(e["text_int"]) for e in exs]
+                it = batch_idx + 1
+                if it <= warmup:  # recognition_model.py:80-85
+                    for g in optim.param_groups:
+                        g["lr"] = it * target_lr / warmup
+                X = _combine_fixed_length_torch(torch, b["emg"], seq_len)
+                Xr = _combine_fixed_length_torch(torch, b["raw_emg"],
+                                                 seq_len * 8)
+                Xr = _shift_augment_torch(torch, Xr, shift_rnd)
+                sess = _combine_fixed_length_torch(
+                    torch, b["session_ids"], seq_len)
+                pred = model(X, Xr, sess)
+                pred = F.log_softmax(pred, 2)
+                pred = nn.utils.rnn.pad_sequence(
+                    _decollate_torch(pred, b["lengths"]),
+                    batch_first=False)
+                y = nn.utils.rnn.pad_sequence(b["text_int"],
+                                              batch_first=True)
+                loss = F.ctc_loss(pred, y, b["lengths"],
+                                  b["text_int_lengths"], blank=n_chars)
+                loss.backward()
+                if it % 2 == 0:  # accum x2, recognition_model.py:105
+                    optim.step()
+                    optim.zero_grad()
+                batch_idx += 1
+            if (epoch + 1) % 20 == 0:
+                print(f"[torch rec] epoch {epoch + 1}/{epochs} loss "
+                      f"{float(loss):.3f} ({time.time() - t0:.0f}s)",
+                      flush=True)
 
     def dev_logits(examples):
         model.eval()
@@ -293,7 +314,6 @@ def torch_transduction(corpus, trainset, devset, *, epochs, target_lr,
     torch.manual_seed(seed)
     model = ref_architecture.Model(112, 80, 48)
     _patch_torch2_compat(model)
-    ref_architecture.random.randrange = lambda n: 0  # see _shift_augment_torch
     import random as pyrandom
     shift_rnd = pyrandom.Random(seed + 200)
     optim = torch.optim.AdamW(model.parameters(), weight_decay=wd)
@@ -302,30 +322,31 @@ def torch_transduction(corpus, trainset, devset, *, epochs, target_lr,
 
     batch_idx = 0
     t0 = time.time()
-    for epoch in range(epochs):
-        model.train()
-        for ids in sampler:
-            exs = [trainset[i] for i in ids]
-            b = _ref_batches(torch, [exs])[0]
-            optim.zero_grad()
-            lr = (min(batch_idx + 1, warmup) / warmup) * target_lr
-            for g in optim.param_groups:
-                g["lr"] = lr
-            X = _combine_fixed_length_torch(torch, b["emg"], seq_len)
-            Xr = _combine_fixed_length_torch(torch, b["raw_emg"],
-                                             seq_len * 8)
-            Xr = _shift_augment_torch(torch, Xr, shift_rnd)
-            sess = _combine_fixed_length_torch(torch, b["session_ids"],
-                                               seq_len)
-            pred, phone = model(X, Xr, sess)
-            loss = _ref_dtw_loss(torch, F, pred, phone, b)
-            loss.backward()
-            optim.step()
-            batch_idx += 1
-        if (epoch + 1) % 20 == 0:
-            print(f"[torch trans] epoch {epoch + 1}/{epochs} loss "
-                  f"{float(loss):.3f} ({time.time() - t0:.0f}s)",
-                  flush=True)
+    with _zero_inmodel_shift(ref_architecture):
+        for epoch in range(epochs):
+            model.train()
+            for ids in sampler:
+                exs = [trainset[i] for i in ids]
+                b = _ref_batches(torch, [exs])[0]
+                optim.zero_grad()
+                lr = (min(batch_idx + 1, warmup) / warmup) * target_lr
+                for g in optim.param_groups:
+                    g["lr"] = lr
+                X = _combine_fixed_length_torch(torch, b["emg"], seq_len)
+                Xr = _combine_fixed_length_torch(torch, b["raw_emg"],
+                                                 seq_len * 8)
+                Xr = _shift_augment_torch(torch, Xr, shift_rnd)
+                sess = _combine_fixed_length_torch(
+                    torch, b["session_ids"], seq_len)
+                pred, phone = model(X, Xr, sess)
+                loss = _ref_dtw_loss(torch, F, pred, phone, b)
+                loss.backward()
+                optim.step()
+                batch_idx += 1
+            if (epoch + 1) % 20 == 0:
+                print(f"[torch trans] epoch {epoch + 1}/{epochs} loss "
+                      f"{float(loss):.3f} ({time.time() - t0:.0f}s)",
+                      flush=True)
 
     def predict(dp):
         model.eval()
@@ -441,25 +462,42 @@ def ours_transduction(corpus, trainset, devset, *, epochs, target_lr,
 
 # --------------------------------------------------------------------------
 
-def _write_partial(out):
+def _write_partial(out, fresh_tasks):
     """Incremental artifact write: a timeout mid-run must not lose the
     completed halves (this host has ONE CPU core — the four trainings
     serialize on it and the full run is long). Task blocks not present
     in ``out`` are carried over from the existing artifact so a partial
-    run never erases the other half's last good numbers."""
+    run never erases the other half's last good numbers.
+
+    ``fresh_tasks``: the set of task keys actually produced by THIS
+    process. ``carried_over`` is recomputed from it on every write (not
+    from key presence), so a later fresh block clears a stale flag and a
+    pre-copied block gets one."""
     if os.path.exists("docs/HEADTOHEAD.json"):
         try:
             with open("docs/HEADTOHEAD.json") as f:
                 prev = json.load(f)
             for k in ("recognition", "transduction"):
                 if k in prev and k not in out:
-                    out.setdefault("carried_over", []).append(k)
                     out[k] = prev[k]
         except (json.JSONDecodeError, OSError):
             pass
+    out.pop("carried_over", None)
+    carried = [k for k in ("recognition", "transduction")
+               if k in out and k not in fresh_tasks]
+    if carried:
+        out["carried_over"] = carried
     os.makedirs("docs", exist_ok=True)
-    with open("docs/HEADTOHEAD.json", "w") as f:
-        json.dump(out, f, indent=1)
+    # atomic replace: a kill mid-dump must not truncate the artifact
+    fd, tmp = tempfile.mkstemp(dir="docs", suffix=".headtohead.tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(out, f, indent=1)
+        os.replace(tmp, "docs/HEADTOHEAD.json")
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
     print("wrote docs/HEADTOHEAD.json (partial ok)", flush=True)
 
 
@@ -524,18 +562,21 @@ def main(rec_epochs=300, trans_epochs=80, utts=20, eval_every=1,
                 out[k] = prev[k]  # keep the half we are not re-running
 
     # ---- recognition ----
+    fresh_tasks = set()  # task keys produced by THIS process
     if tasks in ("all", "rec"):
         _run_recognition(out, corpus, trainset, devset, dev_examples,
                          train_probe, references, refs_train, tt, lm,
-                         rec_epochs, eval_every, work, hp_rec)
+                         rec_epochs, eval_every, work, hp_rec,
+                         fresh_tasks)
     if tasks in ("all", "trans"):
         _run_transduction(out, corpus, trainset, devset, dev_examples,
-                          trans_epochs, eval_every, work, hp_trans)
+                          trans_epochs, eval_every, work, hp_trans,
+                          fresh_tasks)
 
 
 def _run_recognition(out, corpus, trainset, devset, dev_examples,
                      train_probe, references, refs_train, tt, lm,
-                     rec_epochs, eval_every, work, hp_rec):
+                     rec_epochs, eval_every, work, hp_rec, fresh_tasks):
     t0 = time.time()
     ours_dev_fn = ours_recognition(
         corpus, trainset, devset, epochs=rec_epochs,
@@ -582,11 +623,13 @@ def _run_recognition(out, corpus, trainset, devset, dev_examples,
                             "references": references},
     }
     print(json.dumps(out["recognition"], indent=1), flush=True)
-    _write_partial(out)
+    fresh_tasks.add("recognition")
+    _write_partial(out, fresh_tasks)
 
 
 def _run_transduction(out, corpus, trainset, devset, dev_examples,
-                      trans_epochs, eval_every, work, hp_trans):
+                      trans_epochs, eval_every, work, hp_trans,
+                      fresh_tasks):
     # dev (silent) judged by DTW-aligned mel cost — the reference's dev
     # semantics; the voiced renditions of the dev sentences (via the
     # silent-less view) judged by framewise RMSE + phoneme accuracy
@@ -619,7 +662,8 @@ def _run_transduction(out, corpus, trainset, devset, dev_examples,
                           "torch": round(t_torch, 1)},
     }
     print(json.dumps(out["transduction"], indent=1), flush=True)
-    _write_partial(out)
+    fresh_tasks.add("transduction")
+    _write_partial(out, fresh_tasks)
 
 
 if __name__ == "__main__":

@@ -1,25 +1,33 @@
-"""Trained-model accuracy artifact (VERDICT round-2 item 2).
+"""Trained-model accuracy artifact (VERDICT round-2 item 2; moved onto
+the LEARNABLE corpus in round 5 per VERDICT round-4 item 3).
 
-Trains both model families to OVERFIT the synthetic corpus end-to-end and
-measures accuracy through the REAL eval paths:
+Trains both model families end-to-end on the learnable synthetic corpus
+(``generate_corpus(learnable=True)``: EMG burst amplitudes and audio
+harmonics deterministically encode the character sequence, so DEV-set
+generalization is measurable — on the old pure-noise corpus dev metrics
+were vacuous and the dev loss diverged) and measures accuracy through
+the REAL eval paths:
 
-- recognition: ``RecognitionTrainer.fit`` (the reference CTC loop) until
-  held-in WER through the production decode — batched logits → native
-  LM-fused beam search (ARPA built from the corpus texts), α=1.5/β=1.85 —
-  reaches ≤ 5%, proving the system *learns*, not just steps
+- recognition: ``RecognitionTrainer.fit`` (the reference CTC loop,
+  reference lr 3e-4 ``recognition_model.py:23``, dropout/shift on).
+  Gates: DEV WER through the production decode — batched logits →
+  native LM-fused beam search (ARPA built from the train texts),
+  α=1.5/β=1.85 — improving and ≤ DEV_WER_TARGET, plus a held-in greedy
+  probe separating "didn't learn" from "didn't generalize"
   (``recognition_model.py:30-58`` semantics).
-- transduction: ``TransductionTrainer.fit`` to convergence on the DTW
-  loss, then the full ``evaluate.py`` loop: EnsemblePredictor loss +
-  phoneme accuracy, HiFi-GAN vocoding of every dev utterance to wav, and
-  the ASR WER judge (``evaluate.py:36-64`` semantics). The judge here is
-  the offline tiny-wav2vec TransformersASR stand-in and the vocoder is a
-  fabricated checkpoint (the env has no DeepSpeech models, no released
-  HiFi-GAN weights, and no egress), so the synthesis WER documents the
-  PATH, not a publishable number — the recognition WER is the accuracy
-  claim.
+- transduction: ``TransductionTrainer.fit`` (reference lr 1e-3,
+  plateau patience 5 — live again because dev loss can improve here),
+  then the full ``evaluate.py`` loop: EnsemblePredictor loss + phoneme
+  accuracy, HiFi-GAN vocoding of every dev utterance to wav, and the
+  ASR WER judge (``evaluate.py:36-64`` semantics). Gates: decreasing
+  dev-loss curve + dev voiced mel RMSE ≤ DEV_RMSE_TARGET. The ASR judge
+  is the offline tiny-wav2vec TransformersASR stand-in and the vocoder
+  a fabricated checkpoint (the env has no DeepSpeech models, no
+  released HiFi-GAN weights, no egress), so the synthesis WER documents
+  the PATH, not fidelity.
 
 Writes docs/ACCURACY.json + docs/ACCURACY.md.
-Run: python tools/train_accuracy.py [max_recognition_epochs]
+Run: python tools/train_accuracy.py [max_recognition_epochs] [work_dir]
 """
 import json
 import math
@@ -100,6 +108,11 @@ def tiny_asr():
     return TransformersASR(model=model, processor=processor)
 
 
+DEV_WER_TARGET = 0.5    # recognition dev beam+LM WER gate
+DEV_RMSE_TARGET = 1.0   # transduction dev voiced mel RMSE gate
+                        # (uncorrelated unit-variance signals sit ~1.41)
+
+
 def main(max_epochs=400, work=None):
     import jax
 
@@ -114,36 +127,31 @@ def main(max_epochs=400, work=None):
     # phase picks up from its checkpoint instead of retraining)
     work = work or tempfile.mkdtemp(prefix="accuracy_run_")
     corpus = generate_corpus(os.path.join(work, "corpus"),
-                             n_voiced_sessions=2, n_silent_sessions=1,
-                             utterances_per_session=8, seed=42)
+                             n_voiced_sessions=3, n_silent_sessions=1,
+                             utterances_per_session=12, seed=42,
+                             learnable=True)
 
     mesh = make_mesh(1, 1, devices=jax.devices()[:1])
-    out = {"corpus": "synthetic seed=42, 2 voiced + 1 silent sessions "
-                     "x 8 utterances"}
+    out = {"corpus": "learnable synthetic seed=42, 3 voiced + 1 silent "
+                     "sessions x 12 utterances"}
 
     # ================= recognition =====================================
     cfg = Config()
     cfg.data = corpus
-    # size 128: the synthetic EMG is random noise, so fitting it is pure
-    # memorization — at size 64 the greedy decode was still dropping
-    # characters ("while rest brown water" -> "we res row waer") after
-    # 500+ full-LR updates; doubling width makes the memorization fast.
     cfg.model.model_size = 128
     cfg.model.num_layers = 2
     cfg.model.dim_feedforward = 1024
     cfg.model.num_heads = 8
-    cfg.model.dropout = 0.0          # overfit on purpose
-    cfg.model.shift_augment = False
+    cfg.model.dropout = 0.2          # generalization gate → regularize
+    cfg.model.shift_augment = True
     cfg.model.compute_dtype = "float32"
     cfg.data.t_cap = 512
     cfg.data.utt_cap = 16
-    # Overfit schedule. The corpus is 12 tiny utterances: the defaults
-    # (one 128k-sample batch/epoch, 100-step warmup, accum x2, x0.5
-    # milestones at epoch 125/150) give ~75 optimizer updates over 150
-    # epochs with the LR still ramping — the model never trains. Pack
-    # ~2-utterance batches (6/epoch -> 3 updates/epoch), finish warmup in
-    # 16 batches, and disable the milestone decay.
-    cfg.recognition.learning_rate = 2e-3
+    # Reference schedule scaled to the tiny corpus: lr 3e-4
+    # (recognition_model.py:23 — 2e-3 blank-collapses CTC on this corpus,
+    # see docs/HEADTOHEAD round-4 postmortem), warmup done in 16 batches,
+    # milestone decay off (runs are a few hundred tiny epochs).
+    cfg.recognition.learning_rate = 3e-4
     cfg.recognition.learning_rate_warmup = 16
     cfg.recognition.lr_milestones = ()
     cfg.recognition.max_batch_len = 4000
@@ -151,6 +159,7 @@ def main(max_epochs=400, work=None):
     cfg.recognition.beam_width = 50
 
     trainset = EMGDataset(corpus, dev=False, test=False)
+    devset = EMGDataset(corpus, dev=True)
     texts = [trainset.example_meta(i)["text"]
              for i in range(len(trainset))]
     lm_path = build_arpa(texts, os.path.join(work, "lm.arpa"))
@@ -160,6 +169,7 @@ def main(max_epochs=400, work=None):
     wer_curve = []
     t0 = time.time()
     total = 0
+    chunk = 20
     extra_path = os.path.join(cfg.recognition.output_directory,
                               "checkpoint.extra.json")
     if os.path.exists(extra_path):
@@ -171,44 +181,48 @@ def main(max_epochs=400, work=None):
         rec.state, _ = restore_checkpoint(
             cfg.recognition.output_directory, rec.state, with_extra=True)
         print(f"[rec] resumed at epoch {total}", flush=True)
-    target = 0.05
     first = True
     while total < max_epochs:
-        chunk = 20
         if first and total > 0:
             # resumed: evaluate before training more
             first = False
-            w = rec.evaluate_wer(trainset, beam=True)
-            if w <= target:
+            w = rec.evaluate_wer(devset, beam=True)
+            if w <= DEV_WER_TARGET:
                 wg = rec.evaluate_wer(trainset, beam=False)
                 wer_curve.append(
-                    {"epoch": total, "heldin_wer": round(w, 4),
+                    {"epoch": total, "dev_wer": round(w, 4),
                      "heldin_wer_greedy": round(wg, 4)})
-                print(f"[rec] resumed model already at WER "
+                print(f"[rec] resumed model already at dev WER "
                       f"{w * 100:.2f}%", flush=True)
                 break
-        rec.fit(trainset, trainset, epochs=total + chunk, seed=0,
-                resume=total > 0)
+        rec.fit(trainset, devset, epochs=total + chunk, seed=0,
+                resume=total > 0, eval_every=chunk)
         total += chunk
-        w = rec.evaluate_wer(trainset, beam=True)
+        w = rec.evaluate_wer(devset, beam=True)
         wg = rec.evaluate_wer(trainset, beam=False)
-        wer_curve.append({"epoch": total, "heldin_wer": round(w, 4),
+        wer_curve.append({"epoch": total, "dev_wer": round(w, 4),
                           "heldin_wer_greedy": round(wg, 4)})
-        print(f"[rec] epoch {total}: held-in beam+LM WER "
-              f"{w * 100:.2f}% greedy {wg * 100:.2f}% "
+        print(f"[rec] epoch {total}: dev beam+LM WER "
+              f"{w * 100:.2f}% held-in greedy {wg * 100:.2f}% "
               f"({time.time() - t0:.0f}s)", flush=True)
-        if w <= target:
+        if w <= DEV_WER_TARGET:
             break
-    w_greedy = rec.evaluate_wer(trainset, beam=False)
+    w_dev_greedy = rec.evaluate_wer(devset, beam=False)
+    dev_curve_vals = [c["dev_wer"] for c in wer_curve]
     out["recognition"] = {
         "epochs": total,
-        "heldin_wer_beam_lm": wer_curve[-1]["heldin_wer"],
-        "heldin_wer_greedy": round(w_greedy, 4),
+        "dev_wer_beam_lm": wer_curve[-1]["dev_wer"],
+        "dev_wer_greedy": round(w_dev_greedy, 4),
+        "heldin_wer_greedy": wer_curve[-1]["heldin_wer_greedy"],
         "wer_curve": wer_curve,
         "decode": "batched logits -> native LM-fused beam "
-                  f"(beam=50, ARPA bigram over corpus texts, "
+                  f"(beam=50, ARPA bigram over train texts, "
                   "alpha=1.5 beta=1.85)",
-        "target_met": wer_curve[-1]["heldin_wer"] <= target,
+        "dev_wer_target": DEV_WER_TARGET,
+        "dev_curve_improving": (len(dev_curve_vals) > 1
+                                and dev_curve_vals[-1]
+                                < dev_curve_vals[0]),
+        "target_met": wer_curve[-1]["dev_wer"] <= DEV_WER_TARGET,
     }
 
     # ================= transduction ====================================
@@ -217,22 +231,21 @@ def main(max_epochs=400, work=None):
     tcfg.model.model_size = 128
     tcfg.model.num_layers = 2
     tcfg.model.dim_feedforward = 1024
-    tcfg.model.dropout = 0.0
-    tcfg.model.shift_augment = False
+    tcfg.model.dropout = 0.2         # generalization gate → regularize
+    tcfg.model.shift_augment = True
     tcfg.model.compute_dtype = "float32"
     tcfg.data.t_cap = 512
     tcfg.data.utt_cap = 16
     tcfg.transduction.learning_rate = 1e-3
     tcfg.transduction.learning_rate_warmup = 16   # see recognition note
-    # dev loss can't improve on this corpus (random-noise EMG), so the
-    # plateau scheduler would halve the LR every `patience` epochs and
-    # freeze the overfit — park the patience beyond the run
-    tcfg.transduction.learning_rate_patience = 10_000
+    # the learnable corpus's dev loss CAN improve, so the reference
+    # plateau scheduler (x0.5 patience 5, transduction_model.py:179)
+    # is live again
+    tcfg.transduction.learning_rate_patience = 5
     tcfg.transduction.max_batch_len = 4000
     tcfg.transduction.output_directory = os.path.join(work, "trans")
 
     trans = TransductionTrainer(tcfg, mesh=mesh)
-    devset = EMGDataset(corpus, dev=True)
     t0 = time.time()
     # the trainers report through logging; the CLIs tee it into log.txt
     # via run_logging — the API path needs its own handler for the
@@ -252,16 +265,20 @@ def main(max_epochs=400, work=None):
     from silent_speech_tpu.eval.asr import evaluate as asr_evaluate
     from hifigan_util import write_tiny_checkpoint
 
-    # chunked overfit with resume (mirrors the recognition phase). The
-    # learning gate is the mel head — the transduction objective — via
-    # held-in voiced mel RMSE in normalized mel space (random unit-
-    # variance signals sit at ~sqrt(2); memorization drives it toward 0).
-    # The auxiliary phoneme head (weight 0.5) is reported, not gated: on
-    # random-noise EMG the mel term dominates the shared encoder.
-    def heldin_mel_rmse_fn(ens):
+    # chunked training with resume (mirrors the recognition phase). The
+    # gate is now GENERALIZATION: framewise mel RMSE in normalized mel
+    # space on the voiced renditions of the dev sentences (dev proper is
+    # silent-only by the reference pairing rule — voiced_dev_view
+    # re-discovers the voiced recordings; judges shared with
+    # tools/headtohead.py). Held-in RMSE is still tracked as the
+    # learning probe.
+    from headtohead import voiced_dev_view
+
+    vdev_examples = voiced_dev_view(corpus)
+
+    def mel_rmse_over(ens, examples):
         vals = []
-        for i in range(len(trainset)):
-            dp = trainset[i]
+        for dp in examples:
             if dp["silent"]:
                 continue
             pred = ens.predict(dp)
@@ -271,6 +288,11 @@ def main(max_epochs=400, work=None):
                 (pred[:m] - tgt[:m]) ** 2))))
         return float(np.mean(vals))
 
+    heldin_examples = [trainset[i] for i in range(len(trainset))]
+
+    def heldin_mel_rmse_fn(ens):
+        return mel_rmse_over(ens, heldin_examples)
+
     total_t = 0
     extra_t = os.path.join(tcfg.transduction.output_directory,
                            "checkpoint.extra.json")
@@ -279,7 +301,6 @@ def main(max_epochs=400, work=None):
             total_t = int(json.load(f)["epoch"])
         print(f"[trans] resuming at epoch {total_t}", flush=True)
     acc_curve = []
-    target_rmse = 0.30
     max_trans_epochs = 400
     try:
         while total_t < max_trans_epochs:
@@ -292,16 +313,18 @@ def main(max_epochs=400, work=None):
                                      trans.state.batch_stats)])
             hl, ha, _ = ens.evaluate(trainset)
             rmse = heldin_mel_rmse_fn(ens)
+            dev_rmse = mel_rmse_over(ens, vdev_examples)
             acc_curve.append(
                 {"epoch": total_t,
                  "heldin_loss": round(float(hl), 4),
                  "heldin_mel_rmse": round(rmse, 4),
+                 "dev_mel_rmse": round(dev_rmse, 4),
                  "heldin_phoneme_acc": round(float(ha), 4)})
             print(f"[trans] epoch {total_t}: held-in loss {float(hl):.4f}"
-                  f" mel RMSE {rmse:.4f} phoneme acc "
-                  f"{float(ha) * 100:.1f}% "
+                  f" mel RMSE {rmse:.4f} dev mel RMSE {dev_rmse:.4f} "
+                  f"phoneme acc {float(ha) * 100:.1f}% "
                   f"({time.time() - t0:.0f}s)", flush=True)
-            if rmse <= target_rmse:
+            if dev_rmse <= DEV_RMSE_TARGET and total_t >= 2 * chunk:
                 break
     finally:
         root.removeHandler(handler)
@@ -323,11 +346,14 @@ def main(max_epochs=400, work=None):
     ev_loss, ev_acc, _conf = ensemble.evaluate(devset)
     hi_loss, hi_acc, _ = ensemble.evaluate(trainset)
 
-    # held-in mel reconstruction: RMSE between the predicted and target
-    # normalized mel for every voiced held-in utterance (framewise
-    # targets, so no alignment needed) — vocoder-independent evidence the
-    # mel head fits
+    # framewise mel RMSE in normalized mel space: held-in (learning
+    # probe) and voiced-dev (generalization gate) — vocoder-independent
+    # evidence for the mel head
     heldin_mel_rmse = heldin_mel_rmse_fn(ensemble)
+    dev_mel_rmse = mel_rmse_over(ensemble, vdev_examples)
+    # voiced-dev loss + phoneme accuracy through the ensemble eval path
+    # (evaluate() only needs len()/[] — the list view works)
+    dv_loss, dv_acc, _ = ensemble.evaluate(vdev_examples)
 
     hcfg = HiFiGANConfig(
         upsample_rates=(8, 8, 2, 2), upsample_kernel_sizes=(16, 16, 4, 4),
@@ -348,14 +374,19 @@ def main(max_epochs=400, work=None):
     out["transduction"] = {
         "epochs": total_t,
         "val_loss_curve": [round(x, 4) for x in loss_curve],
-        "heldin_curve": acc_curve,
+        "curve": acc_curve,
         "heldin_loss": round(float(hi_loss), 4),
         "heldin_phoneme_accuracy": round(float(hi_acc), 4),
         "heldin_mel_rmse_voiced": round(heldin_mel_rmse, 4),
-        "heldin_rmse_target": target_rmse,
-        "heldin_rmse_target_met": heldin_mel_rmse <= target_rmse,
-        "dev_loss": round(float(ev_loss), 4),
+        "dev_mel_rmse_voiced": round(dev_mel_rmse, 4),
+        "dev_rmse_target": DEV_RMSE_TARGET,
+        "dev_voiced_loss": round(float(dv_loss), 4),
+        "dev_voiced_phoneme_accuracy": round(float(dv_acc), 4),
+        "dev_loss_silent_dtw": round(float(ev_loss), 4),
         "dev_phoneme_accuracy": round(float(ev_acc), 4),
+        "dev_loss_curve_improving": (len(loss_curve) > 1
+                                     and loss_curve[-1] < loss_curve[0]),
+        "target_met": dev_mel_rmse <= DEV_RMSE_TARGET,
         "synthesis_wer": round(float(synth_wer), 4),
         "synthesis_note": "full evaluate.py path (ensemble -> mel -> "
                           "HiFi-GAN -> wav -> ASR judge); fabricated "
@@ -370,46 +401,57 @@ def main(max_epochs=400, work=None):
     r = out["recognition"]
     t = out["transduction"]
     with open("docs/ACCURACY.md", "w") as f:
-        f.write(f"""# Trained-model accuracy (synthetic corpus)
+        f.write(f"""# Trained-model accuracy (learnable synthetic corpus)
 
-First end-to-end accuracy artifact (VERDICT round-2 item 2): both model
-families trained in this framework until they demonstrably LEARN, with
-accuracy measured through the real eval paths.
+End-to-end accuracy artifact (VERDICT round-2 item 2; regenerated on the
+LEARNABLE corpus per VERDICT round-4 item 3): both model families
+trained in this framework until they demonstrably GENERALIZE, with
+accuracy measured through the real eval paths. The corpus
+(``generate_corpus(learnable=True)``) derives EMG bursts and audio
+harmonics deterministically from the character sequence, so dev-set
+metrics measure generalization, not noise memorization.
 
 ## Recognition (EMG -> text, CTC)
 
-Overfit target: held-in WER <= 5% through the production decode
-(batched masked logits -> native LM-fused beam, beam=50, ARPA bigram
-over the corpus texts, alpha=1.5/beta=1.85 — recognition_model.py:30-58
-semantics).
+Gate: dev WER <= {r['dev_wer_target'] * 100:.0f}% through the production
+decode (batched masked logits -> native LM-fused beam, beam=50, ARPA
+bigram over the train texts, alpha=1.5/beta=1.85 —
+recognition_model.py:30-58 semantics), reference lr 3e-4, dropout 0.2,
+shift augmentation on.
 
 - epochs: {r['epochs']}
-- **held-in WER (beam+LM): {r['heldin_wer_beam_lm'] * 100:.2f}%**
-- held-in WER (greedy): {r['heldin_wer_greedy'] * 100:.2f}%
+- **dev WER (beam+LM): {r['dev_wer_beam_lm'] * 100:.2f}%**
+  (target met: {r['target_met']}; curve improving:
+  {r['dev_curve_improving']})
+- dev WER (greedy): {r['dev_wer_greedy'] * 100:.2f}%
+- held-in WER (greedy, learning probe): \
+{r['heldin_wer_greedy'] * 100:.2f}%
 - curve: {json.dumps(r['wer_curve'])}
 
 ## Transduction (EMG -> speech)
 
-{t['epochs']} epochs of the reference DTW-loss loop (overfit target:
-held-in voiced mel RMSE <= {t['heldin_rmse_target']} in normalized mel
-space, where uncorrelated unit-variance signals sit at ~1.41), then the
-full evaluate.py pipeline (EnsemblePredictor -> per-utterance mel ->
-HiFi-GAN -> wav -> ASR judge, evaluate.py:36-64 semantics).
+{t['epochs']} epochs of the reference DTW-loss loop (lr 1e-3, plateau
+x0.5 patience 5 — live again on this corpus, dropout 0.2, shift on).
+Gate: voiced-dev framewise mel RMSE <= {t['dev_rmse_target']} in
+normalized mel space (uncorrelated unit-variance signals sit at ~1.41),
+then the full evaluate.py pipeline (EnsemblePredictor -> per-utterance
+mel -> HiFi-GAN -> wav -> ASR judge, evaluate.py:36-64 semantics).
 
-- **held-in voiced mel RMSE: {t['heldin_mel_rmse_voiced']}**
-  (target met: {t['heldin_rmse_target_met']}); held-in loss
-  {t['heldin_loss']}; curve: {json.dumps(t['heldin_curve'])}
-- held-in phoneme accuracy (auxiliary head, weight 0.5 — the mel term
-  dominates on random-noise EMG): {t['heldin_phoneme_accuracy'] * 100:.1f}%
-- dev loss: {t['dev_loss']} (val curve {t['val_loss_curve'][0]} ->
-  {t['val_loss_curve'][-1]})
-- dev phoneme accuracy: {t['dev_phoneme_accuracy'] * 100:.1f}%
+- **voiced-dev mel RMSE: {t['dev_mel_rmse_voiced']}** (target met:
+  {t['target_met']}); held-in mel RMSE {t['heldin_mel_rmse_voiced']};
+  curve: {json.dumps(t['curve'])}
+- dev loss curve (silent DTW semantics): {t['val_loss_curve'][0]} ->
+  {t['val_loss_curve'][-1]} (improving:
+  {t['dev_loss_curve_improving']})
+- voiced-dev loss {t['dev_voiced_loss']}, voiced-dev phoneme accuracy
+  {t['dev_voiced_phoneme_accuracy'] * 100:.1f}%; held-in loss
+  {t['heldin_loss']}, held-in phoneme accuracy
+  {t['heldin_phoneme_accuracy'] * 100:.1f}%
 - synthesis WER through the full path: {t['synthesis_wer'] * 100:.1f}%
   ({t['synthesis_note']})
 
-Caveats: the corpus is synthetic (EMG is random noise, so recognition
-accuracy = memorization capacity, which is exactly what the overfit
-test certifies); no DeepSpeech/HiFi-GAN release weights exist in this
+Caveats: the corpus is synthetic-but-learnable (dev generalization is
+the gate); no DeepSpeech/HiFi-GAN release weights exist in this
 environment, so the synthesis WER exercises the full path with stand-in
 models rather than producing a publishable number.
 """)
