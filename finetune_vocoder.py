@@ -38,6 +38,8 @@ def main():
                              "mel frames per training segment")
         flags.DEFINE_list("vocoder_disc_periods", ["2", "3", "5", "7", "11"],
                           "MPD discriminator periods")
+        flags.DEFINE_integer("vocoder_checkpoint_every", 1000,
+                             "save the full GAN state every N steps")
     flags.FLAGS(sys.argv)
     F = flags.FLAGS
     apply_env_platform_override()
@@ -59,15 +61,29 @@ def main():
     if F.hifigan_checkpoint:
         trainer.load_generator(F.hifigan_checkpoint)
 
+    # --resume (the shared trainer flag): continue from the full GAN
+    # state in output_directory — lr decay and step numbering stay
+    # continuous, so the reference's 75k-step budget splits across
+    # bounded sessions
+    start_step = 0
+    if F.resume and trainer.state_exists(out_dir):
+        start_step = trainer.load_state(out_dir)
+        import logging
+        logging.info("resumed vocoder state at step %d", start_step)
+
     source = VocoderDataSource(F.data_directory,
                                prefix=F.filelist_prefix)
     final = trainer.train(source, steps=F.steps,
                           batch_size=F.vocoder_batch_size,
-                          segment_frames=F.vocoder_segment_frames)
+                          segment_frames=F.vocoder_segment_frames,
+                          start_step=start_step,
+                          checkpoint_every=F.vocoder_checkpoint_every,
+                          checkpoint_dir=out_dir)
     trainer.export_torch(os.path.join(out_dir, "generator_finetuned.pt"))
 
     import logging
-    logging.info("finetune done: %d steps, final metrics %s", F.steps,
+    logging.info("finetune done: %d new steps (at %d total), final "
+                 "metrics %s", F.steps, start_step + F.steps,
                  {k: round(v, 4) for k, v in final.items()})
 
 

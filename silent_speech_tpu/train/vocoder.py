@@ -157,6 +157,43 @@ class VocoderTrainer:
         self.gen_params = Vocoder(checkpoint_path).params
         self.gen_opt = self.gen_tx.init(self.gen_params)
 
+    def _state_dict(self, step: int) -> dict:
+        return {"gen_params": self.gen_params,
+                "disc_params": self.disc_params,
+                "gen_opt": self.gen_opt, "disc_opt": self.disc_opt,
+                "step": step}
+
+    def save_state(self, directory: str, step: int = 0) -> str:
+        """Persist the FULL GAN state (both param trees + both optimizer
+        states + step) with orbax, so the reference's 75k-step fine-tune
+        budget (``README.md:67-75``) can be split across bounded sessions
+        and resumed exactly — the external PyTorch HiFi-GAN repo the
+        reference shells out to checkpoints g/do files the same way."""
+        from .checkpoint import _checkpointer
+
+        os.makedirs(directory, exist_ok=True)
+        path = os.path.abspath(os.path.join(directory, "vocoder_state"))
+        _checkpointer().save(path, jax.device_get(self._state_dict(step)),
+                             force=True)
+        return path
+
+    def load_state(self, directory: str) -> int:
+        """Inverse of :meth:`save_state`; returns the saved step."""
+        from .checkpoint import _checkpointer
+
+        path = os.path.abspath(os.path.join(directory, "vocoder_state"))
+        r = _checkpointer().restore(
+            path, item=jax.device_get(self._state_dict(0)))
+        self.gen_params = r["gen_params"]
+        self.disc_params = r["disc_params"]
+        self.gen_opt = r["gen_opt"]
+        self.disc_opt = r["disc_opt"]
+        return int(r["step"])
+
+    @staticmethod
+    def state_exists(directory: str) -> bool:
+        return os.path.isdir(os.path.join(directory, "vocoder_state"))
+
     def _build_step(self, mel_weight: float, fm_weight: float):
         gen_cfg, mel_cfg = self.gen_cfg, self.mel_cfg
         disc = self.disc
@@ -216,10 +253,18 @@ class VocoderTrainer:
               batch_size: int = 16, steps_per_epoch: int = 1000,
               log_every: int = 100,
               segment_frames: Optional[int] = None,
-              on_step=None) -> dict:
+              on_step=None, start_step: int = 0,
+              checkpoint_every: int = 0,
+              checkpoint_dir: Optional[str] = None) -> dict:
         """Run the GAN loop; ``on_step(i, metrics_dict)`` (floats) is
         called after every step when given — the accuracy artifact uses it
-        to record curves through this exact production loop."""
+        to record curves through this exact production loop.
+
+        ``start_step`` (from :meth:`load_state`) keeps the per-epoch lr
+        decay and step numbering continuous across resumed sessions;
+        ``checkpoint_every``/``checkpoint_dir`` persist the full GAN
+        state periodically (and at the end) via :meth:`save_state`.
+        ``steps`` counts NEW steps to run this session."""
         if segment_frames is not None and segment_frames <= 0:
             raise ValueError(f"segment_frames must be > 0, "
                              f"got {segment_frames}")
@@ -228,7 +273,7 @@ class VocoderTrainer:
             SEGMENT_FRAMES if segment_frames is None else segment_frames)
         metrics = {}
         t0 = time.time()
-        for i in range(steps):
+        for i in range(start_step, start_step + steps):
             mels, audio = next(batches)
             lr = np.float32(self.lr * (self.lr_decay
                                        ** (i // steps_per_epoch)))
@@ -243,7 +288,12 @@ class VocoderTrainer:
                 logging.info(
                     "vocoder step %d: g=%.3f d=%.3f mel=%.3f (%.2f it/s)",
                     i + 1, m["g_loss"], m["d_loss"], m["mel_l1"],
-                    (i + 1) / (time.time() - t0))
+                    (i + 1 - start_step) / (time.time() - t0))
+            if (checkpoint_every and checkpoint_dir
+                    and (i + 1) % checkpoint_every == 0):
+                self.save_state(checkpoint_dir, step=i + 1)
+        if checkpoint_dir is not None:
+            self.save_state(checkpoint_dir, step=start_step + steps)
         return {k: float(v) for k, v in metrics.items()}
 
     def export_torch(self, path: str) -> None:

@@ -129,3 +129,43 @@ def test_export_torch_roundtrip(tmp_path):
     b = generator_apply(jax.tree_util.tree_map(jnp.asarray, params), mel,
                         TINY_GEN)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_save_load_state_resumes_exactly(wav_dir, tmp_path, monkeypatch):
+    """Full-GAN-state checkpointing: save mid-run, restore into a fresh
+    trainer, and the next step must match bit-for-bit (params AND both
+    optimizer states ride the checkpoint) — the mechanism that splits the
+    reference's 75k-step fine-tune (README.md:67-75) across sessions."""
+    import silent_speech_tpu.train.vocoder as voc
+
+    monkeypatch.setattr(voc, "SEGMENT_FRAMES", 16)
+    ckpt = str(tmp_path / "state")
+
+    def steps_from(trainer, n, start):
+        # hop must match the tiny generator's upsampling (x8)
+        src = VocoderDataSource(wav_dir, hop=TINY_GEN.hop_length,
+                                mel_cfg=TINY_MEL)
+        out = []
+        trainer.train(src, steps=n, batch_size=2, log_every=0,
+                      segment_frames=16, start_step=start,
+                      on_step=lambda i, m: out.append(m["mel_l1"]))
+        return out
+
+    t1 = VocoderTrainer(gen_cfg=TINY_GEN, mel_cfg=TINY_MEL,
+                        learning_rate=1e-3, seed=0, disc_periods=(2,),
+                        disc_scales=1, disc_width_div=8)
+    steps_from(t1, 2, 0)
+    step = 2
+    t1.save_state(ckpt, step=step)
+    cont_ref = steps_from(t1, 2, step)
+
+    t2 = VocoderTrainer(gen_cfg=TINY_GEN, mel_cfg=TINY_MEL,
+                        learning_rate=1e-3, seed=99, disc_periods=(2,),
+                        disc_scales=1, disc_width_div=8)
+    assert VocoderTrainer.state_exists(ckpt)
+    restored = t2.load_state(ckpt)
+    assert restored == step
+    cont_new = steps_from(t2, 2, restored)
+    # the data source restarts its rng per call, so both continuations
+    # see identical batches; state equality => identical losses
+    np.testing.assert_allclose(cont_new, cont_ref, rtol=0, atol=0)

@@ -389,6 +389,10 @@ def _scaled_config(corpus, *, model_size, num_layers, dropout,
     cfg.model.compute_dtype = "float32"  # CPU host; TPU recipe is bf16
     cfg.data.t_cap = 512
     cfg.data.utt_cap = 16
+    # the tiny corpus yields ~25 batches/epoch: 8-step scan waves cover
+    # ~24 of them per dispatch group (default 16 covers only 16 and
+    # leaves 9 paying full per-step dispatch latency through the tunnel)
+    cfg.data.wave_size = 8
     return cfg
 
 
