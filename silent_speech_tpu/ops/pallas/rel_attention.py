@@ -32,6 +32,14 @@ Design notes (all perf-load-bearing):
   ``tpu.dynamic_rotate`` refuses any vreg whose 8 row shifts cross a
   multiple of the 128-lane width, which a 256-row stride-1 rotation
   always does — so the barrel shifter is the general lowering.)
+  ALL heads share ONE barrel pass (``_roll_many``): the rotation amount
+  depends only on the row index within a block, so the per-head (T, W)
+  planes — bf16 head pairs packed into the 32-bit lanes, f32 heads
+  bitcast — stack along the sublane axis and roll together with
+  row-periodic amounts, so 1 barrel fwd + 1 bwd replaces 4+4
+  (prof_attn3 knockouts: stacking shaved ~1.6 ms/step of per-pass
+  overhead, 11.47 → 11.68 steps/s; the surviving ~6.9 ms/step is the
+  log2(W)·rows VPU roll work itself, now at its own roofline).
   Out-of-window positions may read aliased values — a post-roll
   |k−q| ≤ m−1 mask overwrites them with the reference's −1e8 OOR logit
   (``transformer.py:255-261``), so aliasing is harmless and W stays at
@@ -70,10 +78,16 @@ def _round_up(t: int, mult: int) -> int:
     return max(mult, -(-t // mult) * mult)
 
 
-def _roll_rows(x: jnp.ndarray, shift: int, stride: int) -> jnp.ndarray:
-    """Right-rotate row q of ``x`` (R, W) by (shift + stride·q) mod W."""
+def _roll_rows(x: jnp.ndarray, shift: int, stride: int,
+               period: int | None = None) -> jnp.ndarray:
+    """Right-rotate row q of ``x`` (R, W) by (shift + stride·(q mod
+    period)) mod W. ``period`` lets several (T, W) blocks stack along
+    the sublane axis and share ONE barrel pass (the rotation pattern
+    repeats every T rows)."""
     w = x.shape[-1]
     row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    if period is not None and period < x.shape[0]:
+        row = row % period
     amount = (shift + stride * row) % w
     bit = 1
     while bit < w:
@@ -81,21 +95,6 @@ def _roll_rows(x: jnp.ndarray, shift: int, stride: int) -> jnp.ndarray:
         x = jnp.where((amount & bit) != 0, rolled, x)
         bit <<= 1
     return x
-
-
-def _skew(r: jnp.ndarray, m: int) -> jnp.ndarray:
-    """(T, W) rel-coordinate logits → (T, W) absolute logits:
-    out[q, k] = r[q, (k−q+m−1) mod W] (junk beyond the window; callers
-    mask |k−q| > m−1)."""
-    w = r.shape[-1]
-    return _roll_rows(r, (w - m + 1) % w, 1)
-
-
-def _unskew(ds: jnp.ndarray, m: int) -> jnp.ndarray:
-    """(T, W) absolute-coordinate grads → rel coordinates:
-    out[q, d] = ds[q, (q+d−(m−1)) mod W]."""
-    w = ds.shape[-1]
-    return _roll_rows(ds, (m - 1) % w, w - 1)
 
 
 def _cell_valid(t_pad: int, w: int, m: int, t_real: int) -> jnp.ndarray:
@@ -119,13 +118,51 @@ def _unpack16(p: jnp.ndarray):
     return hi, lo
 
 
-def _pair_skews(r1: jnp.ndarray, r2: jnp.ndarray, m: int):
-    """Skew two heads' rel logits in ONE barrel pass: the rotation
-    amount depends only on the row, so the bf16 planes pack into the
-    32-bit lanes Mosaic's rotate requires and roll together."""
-    rolled = _skew(_pack16(r1.astype(jnp.bfloat16),
-                           r2.astype(jnp.bfloat16)), m)
-    return _unpack16(rolled)
+def _roll_many(rs, shift: int, stride: int):
+    """Roll EVERY (T, W) block in ``rs`` by the same row-periodic
+    amounts in ONE barrel pass. bf16 blocks pack in pairs into the
+    32-bit lanes; f32 blocks bitcast to u32; all planes then stack
+    along the sublane axis (the rotation pattern repeats every T rows,
+    ``_roll_rows(period=T)``). One log2(W)-stage barrel for all heads
+    replaces H/2 passes — measured ~1.6 ms/step of per-pass overhead
+    shaved at the train shape (prof_attn3)."""
+    t, w = rs[0].shape
+    bf16 = rs[0].dtype == jnp.bfloat16
+    planes = []
+    if bf16:
+        for i in range(0, len(rs) - 1, 2):
+            planes.append(_pack16(rs[i], rs[i + 1]))
+        if len(rs) % 2:
+            planes.append(_pack16(rs[-1], rs[-1]))
+    else:
+        planes = [pltpu.bitcast(r.astype(jnp.float32), jnp.uint32)
+                  for r in rs]
+    stacked = planes[0] if len(planes) == 1 else jnp.concatenate(
+        planes, axis=0)
+    rolled = _roll_rows(stacked, shift, stride, period=t)
+    outs = []
+    for j in range(len(planes)):
+        p = rolled[j * t:(j + 1) * t] if len(planes) > 1 else rolled
+        if bf16:
+            hi, lo = _unpack16(p)
+            outs.append(hi)
+            if 2 * j + 1 < len(rs):
+                outs.append(lo)
+        else:
+            outs.append(pltpu.bitcast(p, jnp.float32))
+    return outs
+
+
+def _skew_many(rs, m: int):
+    """All heads' (T, W) rel→absolute skews, one stacked barrel pass."""
+    w = rs[0].shape[-1]
+    return _roll_many(rs, (w - m + 1) % w, 1)
+
+
+def _unskew_many(dss, m: int):
+    """All heads' (T, W) absolute→rel unskews, one stacked barrel pass."""
+    w = dss[0].shape[-1]
+    return _roll_many(dss, (m - 1) % w, w - 1)
 
 
 def _softmax_drop(s_unmasked, valid, h, b, seed_ref, *, n_heads,
@@ -166,32 +203,22 @@ def _head_logits(q, ke, *, scale, w):
     return s_all[:, w:] * scale, s_all[:, :w]
 
 
-def _pair_plan(n_heads: int, dtype) -> list:
-    """Head groups: bf16 packs two heads per barrel pass, f32 rolls
-    singly (packing to 16 bits would cost the tests' f32 precision)."""
-    if dtype == jnp.bfloat16:
-        groups = [(h, h + 1) for h in range(0, n_heads - 1, 2)]
-        if n_heads % 2:
-            groups.append((n_heads - 1,))
-        return groups
-    return [(h,) for h in range(n_heads)]
-
-
-def _group_probs(qs, kes, valid, hs, b, seed_ref, *, scale, m, w,
-                 n_heads, drop_threshold):
-    """(p_soft, p_post) per head for a 1- or 2-head group."""
+def _all_probs(qs, kes, valid, b, seed_ref, *, scale, m, w,
+               n_heads, drop_threshold):
+    """(p_soft, p_post) for every head; all heads' rel→abs skews share
+    one stacked barrel pass (bf16 additionally packs head pairs into
+    the 32-bit lanes — f32 keeps full precision via bitcast planes)."""
     cd = qs[0].dtype
     logits = [_head_logits(q, ke, scale=scale, w=w)
               for q, ke in zip(qs, kes)]
-    if len(logits) == 2:
-        sk = _pair_skews(logits[0][1], logits[1][1], m)
-        ss = [(c + k.astype(jnp.float32)).astype(cd)
-              for (c, _), k in zip(logits, sk)]
-    else:
-        ss = [(c + _skew(r, m)).astype(cd) for c, r in logits]
+    rels = [r.astype(cd) if cd == jnp.bfloat16 else r
+            for _, r in logits]
+    sks = _skew_many(rels, m)
+    ss = [(c + sk.astype(jnp.float32)).astype(cd)
+          for (c, _), sk in zip(logits, sks)]
     return [_softmax_drop(s, valid, h, b, seed_ref, n_heads=n_heads,
                           drop_threshold=drop_threshold)
-            for s, h in zip(ss, hs)]
+            for h, s in enumerate(ss)]
 
 
 def _hash_bits(shape, seed: jnp.ndarray) -> jnp.ndarray:
@@ -212,16 +239,15 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, e_ref, o_ref,
     b = pl.program_id(0)
     t_pad = q_ref.shape[2]
     valid = _cell_valid(t_pad, w, m, t_real)
-    for hs in _pair_plan(n_heads, q_ref.dtype):
-        kes = [jnp.concatenate([e_ref[h], k_ref[0, h]], axis=0)
-               for h in hs]
-        ps = _group_probs([q_ref[0, h] for h in hs], kes, valid, hs, b,
-                          seed_ref, scale=scale, m=m, w=w,
-                          n_heads=n_heads, drop_threshold=drop_threshold)
-        for h, (_, p) in zip(hs, ps):
-            o_ref[0, h] = jax.lax.dot(
-                p.astype(v_ref.dtype), v_ref[0, h],
-                preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    kes = [jnp.concatenate([e_ref[h], k_ref[0, h]], axis=0)
+           for h in range(n_heads)]
+    ps = _all_probs([q_ref[0, h] for h in range(n_heads)], kes, valid,
+                    b, seed_ref, scale=scale, m=m, w=w,
+                    n_heads=n_heads, drop_threshold=drop_threshold)
+    for h, (_, p) in enumerate(ps):
+        o_ref[0, h] = jax.lax.dot(
+            p.astype(v_ref.dtype), v_ref[0, h],
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, e_ref, do_ref,
@@ -235,60 +261,53 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, e_ref, do_ref,
     def _():
         de_ref[...] = jnp.zeros(de_ref.shape, de_ref.dtype)
 
-    for hs in _pair_plan(n_heads, q_ref.dtype):
-        cd = q_ref.dtype
-        kes = [jnp.concatenate([e_ref[h], k_ref[0, h]], axis=0)
-               for h in hs]
-        ps = _group_probs([q_ref[0, h] for h in hs], kes, valid, hs, b,
-                          seed_ref, scale=scale, m=m, w=w,
-                          n_heads=n_heads, drop_threshold=drop_threshold)
+    cd = q_ref.dtype
+    kes = [jnp.concatenate([e_ref[h], k_ref[0, h]], axis=0)
+           for h in range(n_heads)]
+    ps = _all_probs([q_ref[0, h] for h in range(n_heads)], kes, valid,
+                    b, seed_ref, scale=scale, m=m, w=w,
+                    n_heads=n_heads, drop_threshold=drop_threshold)
 
-        dscs = []
-        for h, ke, (p_soft, p_post) in zip(hs, kes, ps):
-            do = do_ref[0, h]
-            dv_ref[0, h] = jax.lax.dot_general(
-                p_post.astype(cd), do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    dscs = []
+    for h, (p_soft, p_post) in enumerate(ps):
+        do = do_ref[0, h]
+        dv_ref[0, h] = jax.lax.dot_general(
+            p_post.astype(cd), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
 
-            dp = jax.lax.dot_general(
-                do, v_ref[0, h], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)          # (T, W)
+        dp = jax.lax.dot_general(
+            do, v_ref[0, h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (T, W)
 
-            # y = drop(softmax(s)):
-            #   ds = p_post⊙dp − p_soft·Σ_k(p_post⊙dp)
-            prod = p_post * dp
-            ds = prod - p_soft * jnp.sum(prod, axis=-1, keepdims=True)
-            dscs.append(ds.astype(cd))
+        # y = drop(softmax(s)):
+        #   ds = p_post⊙dp − p_soft·Σ_k(p_post⊙dp)
+        prod = p_post * dp
+        ds = prod - p_soft * jnp.sum(prod, axis=-1, keepdims=True)
+        dscs.append(ds.astype(cd))
 
-        if len(hs) == 2:
-            # one packed barrel pass for both heads' unskews
-            rolled = _unskew(_pack16(dscs[0], dscs[1]), m)
-            drs = list(_unpack16(rolled))
-        else:
-            drs = [_unskew(d.astype(jnp.float32), m).astype(cd)
-                   for d in dscs]
+    # every head's unskew in one stacked barrel pass
+    drs = _unskew_many(dscs, m)
 
-        for h, ke, dsc, dr, (p_soft, p_post) in zip(hs, kes, dscs, drs,
-                                                    ps):
-            q = q_ref[0, h]
-            col = jax.lax.broadcasted_iota(jnp.int32, dr.shape, 1)
-            dr = jnp.where(col < 2 * m - 1, dr, jnp.zeros((), cd))
+    for h, (ke, dsc, dr) in enumerate(zip(kes, dscs, drs)):
+        q = q_ref[0, h]
+        dr = dr.astype(cd)
+        col = jax.lax.broadcasted_iota(jnp.int32, dr.shape, 1)
+        dr = jnp.where(col < 2 * m - 1, dr, jnp.zeros((), cd))
 
-            # dQ = dR·E + (scale·dS)K as one fused contraction over
-            # [E | K]
-            dr_ds = jnp.concatenate(
-                [dr, dsc * jnp.asarray(scale, cd)], axis=1)  # (T, 2W)
-            dq_ref[0, h] = jax.lax.dot(
-                dr_ds, ke, preferred_element_type=jnp.float32
-            ).astype(dq_ref.dtype)
+        # dQ = dR·E + (scale·dS)K as one fused contraction over [E | K]
+        dr_ds = jnp.concatenate(
+            [dr, dsc * jnp.asarray(scale, cd)], axis=1)  # (T, 2W)
+        dq_ref[0, h] = jax.lax.dot(
+            dr_ds, ke, preferred_element_type=jnp.float32
+        ).astype(dq_ref.dtype)
 
-            dk_ref[0, h] = (jax.lax.dot_general(
-                dsc, q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale).astype(
-                    dk_ref.dtype)
+        dk_ref[0, h] = (jax.lax.dot_general(
+            dsc, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(
+                dk_ref.dtype)
 
-            de_ref[h] += jax.lax.dot_general(
-                dr, q, (((0,), (0,)), ((), ())),
+        de_ref[h] += jax.lax.dot_general(
+            dr, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
 
