@@ -42,7 +42,12 @@ sys.path.insert(0, "tests")
 
 from silent_speech_tpu.utils.platform import force_cpu  # noqa: E402
 
-force_cpu(1)
+# default: host CPU (deterministic, tunnel-independent). Set
+# SSTPU_ACCURACY_PLATFORM=default to leave jax on its native backend
+# (the TPU when the tunnel is up — ~5x faster per epoch; checkpoints
+# restore across platforms, so sessions can mix backends).
+if os.environ.get("SSTPU_ACCURACY_PLATFORM", "cpu") == "cpu":
+    force_cpu(1)
 
 import numpy as np  # noqa: E402
 
@@ -167,6 +172,10 @@ def main(max_epochs=400, work=None):
 
     rec = RecognitionTrainer(cfg, mesh=mesh)
     wer_curve = []
+    curve_path = os.path.join(work, "rec_wer_curve.json")
+    if os.path.exists(curve_path):
+        with open(curve_path) as f:
+            wer_curve = json.load(f)  # curve from earlier sessions
     t0 = time.time()
     total = 0
     chunk = 20
@@ -202,11 +211,20 @@ def main(max_epochs=400, work=None):
         wg = rec.evaluate_wer(trainset, beam=False)
         wer_curve.append({"epoch": total, "dev_wer": round(w, 4),
                           "heldin_wer_greedy": round(wg, 4)})
+        with open(curve_path, "w") as f:
+            json.dump(wer_curve, f)  # survive session splits
         print(f"[rec] epoch {total}: dev beam+LM WER "
               f"{w * 100:.2f}% held-in greedy {wg * 100:.2f}% "
               f"({time.time() - t0:.0f}s)", flush=True)
         if w <= DEV_WER_TARGET:
             break
+    if not wer_curve:
+        # resumed at/over max_epochs: the loop never ran — evaluate the
+        # restored checkpoint so the artifact still reports a point
+        w = rec.evaluate_wer(devset, beam=True)
+        wg = rec.evaluate_wer(trainset, beam=False)
+        wer_curve.append({"epoch": total, "dev_wer": round(w, 4),
+                          "heldin_wer_greedy": round(wg, 4)})
     w_dev_greedy = rec.evaluate_wer(devset, beam=False)
     dev_curve_vals = [c["dev_wer"] for c in wer_curve]
     out["recognition"] = {
