@@ -42,13 +42,6 @@ sys.path.insert(0, "tests")
 
 from silent_speech_tpu.utils.platform import force_cpu  # noqa: E402
 
-# default: host CPU (deterministic, tunnel-independent). Set
-# SSTPU_ACCURACY_PLATFORM=default to leave jax on its native backend
-# (the TPU when the tunnel is up — ~5x faster per epoch; checkpoints
-# restore across platforms, so sessions can mix backends).
-if os.environ.get("SSTPU_ACCURACY_PLATFORM", "cpu") == "cpu":
-    force_cpu(1)
-
 import numpy as np  # noqa: E402
 
 
@@ -478,5 +471,14 @@ models rather than producing a publishable number.
 
 
 if __name__ == "__main__":
+    # Platform pinning ONLY when run as a CLI: importing this module for
+    # its helpers (headtohead.py pulls build_arpa) must NOT force the
+    # whole importing process onto the CPU as a side effect.
+    # Default: host CPU (deterministic, tunnel-independent). Set
+    # SSTPU_ACCURACY_PLATFORM=default to leave jax on its native backend
+    # (the TPU when the tunnel is up — ~5x faster per epoch; checkpoints
+    # restore across platforms, so sessions can mix backends).
+    if os.environ.get("SSTPU_ACCURACY_PLATFORM", "cpu") == "cpu":
+        force_cpu(1)
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 400,
          sys.argv[2] if len(sys.argv) > 2 else None)
