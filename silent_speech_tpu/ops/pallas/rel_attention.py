@@ -137,12 +137,26 @@ def _roll_many(rs, shift: int, stride: int):
     else:
         planes = [pltpu.bitcast(r.astype(jnp.float32), jnp.uint32)
                   for r in rs]
-    stacked = planes[0] if len(planes) == 1 else jnp.concatenate(
-        planes, axis=0)
-    rolled = _roll_rows(stacked, shift, stride, period=t)
+    # Bound the stacked buffer: the barrel keeps ~2-3 live copies of it
+    # (roll + select temporaries), so an unbounded stack can blow the
+    # kernel's scoped VMEM (observed at H=8 f32 T=200 W=256: 17.06M vs
+    # the 16M default scope). 2 MiB keeps the production bf16 train
+    # shape (4 packed planes x 200x256x4B = 819 KB) in ONE pass and
+    # chunks only the outsized/f32 shapes.
+    max_stack = 2 * 1024 * 1024
+    per_plane = t * w * 4
+    group = max(1, min(len(planes), max_stack // per_plane))
+    rolled_planes = []
+    for g0 in range(0, len(planes), group):
+        chunk = planes[g0:g0 + group]
+        stacked = chunk[0] if len(chunk) == 1 else jnp.concatenate(
+            chunk, axis=0)
+        rolled = _roll_rows(stacked, shift, stride, period=t)
+        for j in range(len(chunk)):
+            rolled_planes.append(
+                rolled[j * t:(j + 1) * t] if len(chunk) > 1 else rolled)
     outs = []
-    for j in range(len(planes)):
-        p = rolled[j * t:(j + 1) * t] if len(planes) > 1 else rolled
+    for j, p in enumerate(rolled_planes):
         if bf16:
             hi, lo = _unpack16(p)
             outs.append(hi)
@@ -379,7 +393,10 @@ def _fwd(q, k, v, rel_emb, seed, max_dist, drop_threshold):
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, t_pad, dh), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel",),
+            # the stacked barrel's live temporaries push past the 16M
+            # default scope on f32/small-dh shapes; v5e VMEM is 128M
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=_use_interpret(),
     )(seed_arr, qp, kp, vp, ep)
     return out[:, :, :t], (q, k, v, rel_emb, seed)
@@ -409,7 +426,8 @@ def _bwd(max_dist, drop_threshold, res, g):
             jax.ShapeDtypeStruct((h, w, dh), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=_use_interpret(),
     )(seed_arr, qp, kp, vp, ep, gp)
     seed_ct = np.zeros(np.shape(seed), jax.dtypes.float0)

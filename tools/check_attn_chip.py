@@ -68,4 +68,8 @@ if __name__ == "__main__":
     check(2, 8, 200, 96, 100, jnp.bfloat16, 4e-2)
     check(1, 3, 64, 16, 100, jnp.float32, 3e-3)   # odd heads, T < window
     check(2, 2, 150, 32, 40, jnp.bfloat16, 4e-2)  # window < T
+    # the head-to-head trainer shape family: 8 f32 heads of d_h=16 at
+    # T=200/W=256 — the stacked barrel's VMEM-OOM regression shape
+    # (8 full-width f32 planes; chunked stacking + 32M scope fix)
+    check(8, 8, 200, 16, 100, jnp.float32, 3e-3)
     print("all on-chip parity checks passed", flush=True)
